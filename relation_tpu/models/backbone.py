@@ -1,0 +1,132 @@
+"""ResNet-101 backbone, TPU-native (NHWC, bfloat16 matmuls, frozen BatchNorm).
+
+Capability-parity with the reference's hand-unrolled MXNet symbol
+(reference: relation_rcnn/symbols/resnet_v1_101_rcnn_base.py:29-683):
+
+- conv1 7x7/2 -> bn -> relu -> 3x3/2 maxpool
+- res2 (3 units, 256), res3 (4 units, 512, /2), res4 (23 units, 1024, /2)
+  => stride-16 ``conv4`` feature that feeds the RPN
+- res5 (3 units, 2048): stride 1, 3x3 convs dilated 2 (rcnn_base.py:621-683),
+  so the RCNN feature also has stride 16.
+- every BatchNorm runs with frozen statistics (use_global_stats=True,
+  rcnn_base.py BatchNorm calls; eps=1e-5 per ``self.eps``) and frozen gamma/beta
+  (FIXED_PARAMS always includes gamma/beta) — i.e. a constant per-channel affine.
+
+Module/parameter names mirror the Caffe-style reference names (res4b22_branch2c,
+bn4b22_branch2c, ...) so converted reference checkpoints map 1:1.
+
+Stride placement follows the Caffe variant the reference uses: the stride-2 sits on
+the first 1x1 (branch2a) and on the branch1 projection (rcnn_base.py res3a/res4a).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with frozen statistics and frozen affine — a constant per-channel
+    scale/shift, matching use_global_stats=True inference-mode BN."""
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (c,))
+        beta = self.param("beta", nn.initializers.zeros, (c,))
+        mean = self.param("moving_mean", nn.initializers.zeros, (c,))
+        var = self.param("moving_var", nn.initializers.ones, (c,))
+        scale = gamma / jnp.sqrt(var + self.eps)
+        bias = beta - mean * scale
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def _conv(name, features, kernel, strides=1, dilation=1, dtype=jnp.bfloat16):
+    pad = ((kernel - 1) // 2) * dilation
+    return nn.Conv(features=features, kernel_size=(kernel, kernel),
+                   strides=(strides, strides),
+                   padding=((pad, pad), (pad, pad)),
+                   kernel_dilation=(dilation, dilation),
+                   use_bias=False, dtype=dtype, param_dtype=jnp.float32,
+                   name=name)
+
+
+class Bottleneck(nn.Module):
+    """One Caffe-style bottleneck unit: 1x1 (stride) -> 3x3 (dilate) -> 1x1, with an
+    optional branch1 projection."""
+    prefix: str          # e.g. "4b22" -> convs res4b22_branch*, bns bn4b22_branch*
+    mid: int
+    out: int
+    stride: int = 1
+    dilation: int = 1
+    has_proj: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.prefix
+        if self.has_proj:
+            sc = _conv(f"res{p}_branch1", self.out, 1, self.stride, dtype=self.dtype)(x)
+            sc = FrozenBatchNorm(name=f"bn{p}_branch1")(sc)
+        else:
+            sc = x
+        y = _conv(f"res{p}_branch2a", self.mid, 1, self.stride, dtype=self.dtype)(x)
+        y = nn.relu(FrozenBatchNorm(name=f"bn{p}_branch2a")(y))
+        y = _conv(f"res{p}_branch2b", self.mid, 3, 1, self.dilation, dtype=self.dtype)(y)
+        y = nn.relu(FrozenBatchNorm(name=f"bn{p}_branch2b")(y))
+        y = _conv(f"res{p}_branch2c", self.out, 1, dtype=self.dtype)(y)
+        y = FrozenBatchNorm(name=f"bn{p}_branch2c")(y)
+        return nn.relu(sc + y)
+
+
+def _unit_names(stage: int, n: int) -> Sequence[str]:
+    """Caffe ResNet-101 unit naming: res2 a,b,c; res3 a,b1..b3; res4 a,b1..b22;
+    res5 a,b,c (matches reference symbol names)."""
+    if stage in (2, 5):
+        return [f"{stage}{s}" for s in "abc"[:n]]
+    return [f"{stage}a"] + [f"{stage}b{i}" for i in range(1, n)]
+
+
+class ResNet101C4(nn.Module):
+    """conv1 .. res4b22 — the stride-16 shared trunk feeding RPN + heads.
+
+    Mirrors get_resnet_v1_conv4 (rcnn_base.py:29-619). Returns features for the
+    requested stages; stage 4 is the default output.
+    """
+    dtype: Any = jnp.bfloat16
+    out_stages: Sequence[int] = (4,)
+
+    @nn.compact
+    def __call__(self, x):
+        x = _conv("conv1", 64, 7, 2, dtype=self.dtype)(x)
+        x = nn.relu(FrozenBatchNorm(name="bn_conv1")(x))
+        # MXNet pool1: 3x3/2, pad 1 -> ceil-mode padding handled by SAME-ish pad
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        outs = {}
+        plan = {2: (3, 64, 256, 1), 3: (4, 128, 512, 2), 4: (23, 256, 1024, 2)}
+        for stage, (n, mid, out, stride) in plan.items():
+            for i, name in enumerate(_unit_names(stage, n)):
+                x = Bottleneck(prefix=name, mid=mid, out=out,
+                               stride=stride if i == 0 else 1,
+                               has_proj=(i == 0), dtype=self.dtype)(x)
+            outs[stage] = x
+        if self.out_stages == (4,):
+            return x
+        return {s: outs[s] for s in self.out_stages}
+
+
+class ResNet101C5(nn.Module):
+    """res5a..res5c, dilated (stride 1, dilation 2) — mirrors get_resnet_v1_conv5
+    (rcnn_base.py:621-683)."""
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        for i, name in enumerate(_unit_names(5, 3)):
+            x = Bottleneck(prefix=name, mid=512, out=2048, stride=1, dilation=2,
+                           has_proj=(i == 0), dtype=self.dtype)(x)
+        return x

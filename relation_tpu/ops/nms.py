@@ -1,0 +1,180 @@
+"""On-device NMS: exact greedy NMS, padded top-k selection, and soft-NMS.
+
+The reference runs NMS on host (CPU: lib/nms/cpu_nms.pyx, lib/nms/nms.py:45-141) or on
+GPU with a bitmask-tile CUDA kernel plus a host-side greedy sweep
+(lib/nms/nms_kernel.cu:34-78, gpu_nms.pyx:17-31). Both require a device->host round
+trip per call (operator_py/proposal.py:52, core/tester.py:230-268).
+
+Here greedy NMS is a fully on-device, static-shape computation with *exact* greedy
+semantics, built for the TPU memory system:
+
+  1. Sort boxes by score (descending).
+  2. Process in blocks of B boxes. For each block:
+     a. cross-suppress against the already-decided prefix with one batched IoU
+        computation (a [B, prefix] matrix op — rides the VPU/MXU),
+     b. resolve the remaining intra-block suppression with a fixpoint iteration of
+        the triangular recurrence  active_j = ~any_{i<j}(active_i & iou_ij > t),
+        which converges to the greedy solution in at most chain-depth steps.
+
+Total work is one N x N IoU evaluation (touched once, block row by block row) — the
+same algorithmic shape as the reference's CUDA bitmask kernel, but with the greedy
+sweep also on device and no dynamic shapes anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from relation_tpu.ops.boxes import bbox_overlaps
+
+_NEG_INF = -1e10
+
+
+def _intra_block_fixpoint(iou_gt: jnp.ndarray, seed_active: jnp.ndarray) -> jnp.ndarray:
+    """Solve the triangular greedy recurrence inside one block.
+
+    iou_gt: [B, B] bool, True where iou(i, j) > thresh.
+    seed_active: [B] bool — candidates not already suppressed by the prefix.
+    Returns the exact greedy keep mask for the block.
+    """
+    B = seed_active.shape[0]
+    upper = (jnp.arange(B)[:, None] < jnp.arange(B)[None, :])  # i < j
+    sup_mat = iou_gt & upper                                   # i suppresses j
+
+    def cond(state):
+        active, prev, it = state
+        return (it < B) & jnp.any(active != prev)
+
+    def body(state):
+        active, _, it = state
+        suppressed = jnp.any(active[:, None] & sup_mat, axis=0)
+        return seed_active & ~suppressed, active, it + 1
+
+    init = (seed_active, ~seed_active, jnp.int32(0))
+    active, _, _ = jax.lax.while_loop(cond, body, init)
+    return active
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def greedy_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
+                    valid: jnp.ndarray | None = None,
+                    block_size: int = 512) -> jnp.ndarray:
+    """Exact greedy NMS. Returns a bool keep mask in the *input* order.
+
+    boxes: [N, 4]; scores: [N]; valid: optional [N] bool of real (non-padded) boxes.
+    Semantics match the reference host NMS (lib/nms/nms.py:45-83): descending score
+    order, IoU with the +1 convention, suppression strictly by earlier kept boxes.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    masked_scores = jnp.where(valid, scores, _NEG_INF)
+    order = jnp.argsort(-masked_scores)                        # stable, descending
+    boxes_s = boxes[order]
+    valid_s = valid[order]
+
+    num_blocks = -(-n // block_size)
+    keep_s = jnp.zeros((n,), dtype=bool)
+
+    for b in range(num_blocks):                                # static unrolled loop
+        lo = b * block_size
+        hi = min(lo + block_size, n)
+        blk = boxes_s[lo:hi]
+        blk_valid = valid_s[lo:hi]
+
+        if lo > 0:
+            iou_prev = bbox_overlaps(blk, boxes_s[:lo])        # [B, prefix]
+            sup_prev = jnp.any((iou_prev > iou_thresh) & keep_s[None, :lo], axis=1)
+        else:
+            sup_prev = jnp.zeros((hi - lo,), dtype=bool)
+
+        seed = blk_valid & ~sup_prev
+        iou_blk = bbox_overlaps(blk, blk) > iou_thresh
+        active = _intra_block_fixpoint(iou_blk, seed)
+        keep_s = keep_s.at[lo:hi].set(active)
+
+    # un-sort back to input order
+    keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_s)
+    return keep
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "block_size"))
+def greedy_nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
+                    top_k: int, valid: jnp.ndarray | None = None,
+                    block_size: int = 512):
+    """Greedy NMS, then take the top_k kept boxes in score order, padded to top_k.
+
+    Static-shape replacement for the reference proposal op's keep-list handling
+    (operator_py/proposal.py:150-158): if fewer than top_k survive, the output is
+    padded by cycling through the kept boxes (the reference pads with a random choice
+    among kept — deterministic cycling is used here to keep the op reproducible).
+
+    Returns (indices [top_k] int32 into the input, pad_mask [top_k] bool where True
+    means a real (non-duplicated) entry).
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    keep = greedy_nms_mask(boxes, scores, iou_thresh, valid, block_size)
+    masked_scores = jnp.where(keep, scores, _NEG_INF)
+    # kept boxes first, in descending score order
+    order = jnp.argsort(-masked_scores)
+    num_keep = jnp.sum(keep.astype(jnp.int32))
+    slots = jnp.arange(top_k)
+    real = slots < num_keep
+    safe_mod = jnp.maximum(num_keep, 1)
+    idx = jnp.where(real, slots, slots % safe_mod)
+    return order[idx], real
+
+
+def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray, sigma,
+             max_dets: int, valid: jnp.ndarray | None = None,
+             score_floor: float = 0.0):
+    """Gaussian soft-NMS, on device, fixed max_dets iterations.
+
+    Mirrors the reference host implementation (lib/nms/nms.py:96-141 with
+    rescore(type='gaussian'): scores *= exp(-iou^2 / sigma)).  Each iteration picks
+    the current max-score box, freezes its score, and decays the rest.
+
+    boxes: [N, 4]; scores: [N]. Returns (keep_idx [max_dets], keep_scores [max_dets],
+    keep_valid [max_dets] bool). Suited to vmap over classes.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    live_scores = jnp.where(valid, scores, _NEG_INF)
+
+    def body(carry, _):
+        live = carry
+        i = jnp.argmax(live)
+        top_score = live[i]
+        iou = bbox_overlaps(boxes[i][None, :], boxes)[0]       # [N]
+        decay = jnp.exp(-(iou * iou) / sigma)
+        live = live * jnp.where(live > _NEG_INF / 2, decay, 1.0)
+        live = live.at[i].set(_NEG_INF)                        # remove the picked box
+        return live, (i, top_score)
+
+    _, (idx, kept_scores) = jax.lax.scan(body, live_scores, None, length=max_dets)
+    keep_valid = kept_scores > score_floor
+    return idx, kept_scores, keep_valid
+
+
+def classwise_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
+                  score_thresh, valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-class greedy NMS keep mask.
+
+    boxes: [C, N, 4] (or [N, 4] shared across classes), scores: [C, N].
+    Replaces the per-class host NMS loop of the reference evaluator
+    (core/tester.py:230-268) with one vmapped on-device pass.
+    """
+    C, n = scores.shape
+    if boxes.ndim == 2:
+        boxes = jnp.broadcast_to(boxes[None], (C, n, 4))
+    if valid is None:
+        valid = jnp.ones((C, n), dtype=bool)
+    valid = valid & (scores > score_thresh)
+    fn = jax.vmap(lambda b, s, v: greedy_nms_mask(b, s, iou_thresh, v))
+    return fn(boxes, scores, valid)
