@@ -1,0 +1,134 @@
+"""Learned NMS ("duplicate removal") head.
+
+Replaces greedy NMS with a rank-embedding + relation-attention network producing a
+per-(box, class, IoU-threshold) duplicate-or-not conditional score.
+
+Mirrors the reference train graph (symbols/..._learn_nms.py:412-551) and the
+inference-only fused op (operator_py/learn_nms.py:219-405). The reference inference
+op dynamically filters classes whose max score is below ``class_thresh`` to shrink
+the attention batch (learn_nms.py:296-309) — a host-sync micro-optimization that is
+unnecessary on TPU: here every class rides through fixed shapes ([first_n, 80] is
+tiny for the MXU).
+
+Gradient-flow parity (symbols/..._learn_nms.py):
+- bbox_pred is BlockGrad'd before refine_bbox (:428)  -> stop_gradient here
+- sorted_score is *not* blocked (:499-501 commented out) -> gradients flow into the
+  classifier through the multiplicative score fusion.
+
+Parameter names (nms_rank, roi_feat_embedding, nms_logit, nms_* attention) match the
+reference arg names; nms_logit bias is initialized to -3.0 (:600).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from relation_tpu.ops.boxes import refine_bbox
+from relation_tpu.ops.embeddings import (extract_rank_embedding,
+                                         extract_multi_position_matrix,
+                                         extract_pairwise_multi_position_embedding)
+from relation_tpu.models.relation import NMSRelationModule
+
+_norm_init = nn.initializers.normal(0.01)
+
+
+class LearnNMSHead(nn.Module):
+    """Duplicate-removal head.
+
+    __call__(cls_score [N, num_classes], bbox_pred [N, 4*num_reg_classes],
+             rois [N, 4], roi_feat [N, 1024], im_info [3])
+    with N = nongt_dim (gt rows already sliced off by the caller).
+
+    Returns dict with:
+      nms_multi_score   [first_n, num_fg_classes, num_thresh]
+      sorted_bbox       [first_n, num_fg_classes, 4]
+      sorted_score      [first_n, num_fg_classes]
+      nms_conditional_score  same shape as nms_multi_score
+    """
+    num_fg_classes: int
+    first_n: int
+    num_thresh: int
+    class_agnostic: bool = True
+    bbox_means: tuple | None = None
+    bbox_stds: tuple | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, cls_score, bbox_pred, rois, roi_feat, im_info):
+        C = self.num_fg_classes
+        F = self.first_n
+
+        bbox_pred = jax.lax.stop_gradient(bbox_pred)
+        # drop the background regression group (reference :434 slices [4:])
+        bbox_delta_nobg = bbox_pred[:, 4:]
+        # refined_bbox: [N, 4, num_reg_classes-1]
+        refined = refine_bbox(rois, bbox_delta_nobg, im_hw=(im_info[0], im_info[1]),
+                              means=self.bbox_means, stds=self.bbox_stds)
+
+        cls_prob = jax.nn.softmax(cls_score, axis=-1)
+        prob_nobg = cls_prob[:, 1:]                               # [N, C]
+
+        # per-class descending sort; take first_n (reference :442-449)
+        rank_idx = jnp.argsort(-prob_nobg, axis=0)[:F]            # [F, C]
+        sorted_score = jnp.take_along_axis(prob_nobg, rank_idx, axis=0)  # [F, C]
+
+        if self.class_agnostic:
+            # refined[:, :, 0] gathered per class: [F, C, 4]
+            sorted_bbox = refined[:, :, 0][rank_idx]              # [F, C, 4]
+        else:
+            # pick each class's own regression group
+            refined_cls = jnp.transpose(refined, (0, 2, 1))       # [N, K, 4]
+            gathered = refined_cls[rank_idx]                      # [F, C, K, 4]
+            cls_ids = jnp.arange(C)
+            sorted_bbox = gathered[:, cls_ids, cls_ids, :]        # [F, C, 4]
+
+        # rank embedding -> 128 (reference :462-465)
+        rank_emb = extract_rank_embedding(F, 1024)
+        rank_feat = nn.Dense(128, name="nms_rank", dtype=self.dtype,
+                             kernel_init=_norm_init)(rank_emb)    # [F, 128]
+
+        # per-class pairwise geometry (reference :467)
+        nms_position_matrix = extract_multi_position_matrix(sorted_bbox)  # [C,F,F,4]
+        nms_position_embedding = extract_pairwise_multi_position_embedding(
+            nms_position_matrix, 64)
+
+        # roi feature embedding -> 128, gathered in rank order (reference :469-474)
+        roi_emb = nn.Dense(128, name="roi_feat_embedding", dtype=self.dtype,
+                           kernel_init=_norm_init)(roi_feat)      # [N, 128]
+        sorted_roi_feat = roi_emb[rank_idx]                       # [F, C, 128]
+
+        nms_embedding_feat = sorted_roi_feat + rank_feat[:, None, :]
+
+        attention, _ = NMSRelationModule(index=1, groups=16, dim_qk=1024,
+                                         dim_out=128, dtype=self.dtype)(
+            nms_embedding_feat, nms_position_embedding)
+        feat = nn.relu(nms_embedding_feat + attention)            # [F, C, 128]
+
+        logit = nn.Dense(self.num_thresh, name="nms_logit", dtype=self.dtype,
+                         kernel_init=_norm_init,
+                         bias_init=nn.initializers.constant(-3.0))(feat)
+        conditional = jax.nn.sigmoid(logit)                       # [F, C, T]
+        nms_multi_score = sorted_score[..., None] * conditional
+
+        return {
+            "nms_multi_score": nms_multi_score,
+            "sorted_bbox": sorted_bbox,
+            "sorted_score": sorted_score,
+            "nms_conditional_score": conditional,
+        }
+
+
+def merge_multi_score(nms_multi_score: jnp.ndarray, merge_method: int) -> jnp.ndarray:
+    """Test-time merge over the threshold axis (reference :553-562):
+    -1 mean, -2 max, 0<=i<T pick index."""
+    if merge_method == -1:
+        return nms_multi_score.mean(axis=2)
+    if merge_method == -2:
+        return nms_multi_score.max(axis=2)
+    if 0 <= merge_method < nms_multi_score.shape[2]:
+        return nms_multi_score[:, :, merge_method]
+    raise NotImplementedError(f"Unknown merge method {merge_method}.")

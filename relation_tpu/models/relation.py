@@ -1,0 +1,130 @@
+"""Object Relation Module — 16-head scaled-dot-product attention between ROI
+features with a log-clamped geometric bias.
+
+Mirrors ``attention_module_multi_head``
+(reference: relation_rcnn/symbols/resnet_v1_101_rcnn_attention_1024_pairwise_position_multi_head_16_learn_nms.py:90-156):
+
+  aff      = (Q K^T) / sqrt(d_head)                    # appearance affinity
+  w_g      = relu(FC(position_embedding))              # geometric weight, [N, K, heads]
+  weighted = log(max(w_g, 1e-6)) + aff                 # fused as an additive bias
+  attn     = softmax(weighted, axis=keys)
+  out      = grouped_linear(attn @ V),   V = raw key features (no value projection)
+
+The grouped 1x1 conv of the reference (linear_out_*, num_group=16) is an einsum over
+a [heads, feat, out/heads] weight — head-major output channel layout matches the
+reference's grouped-conv layout exactly, so converted weights drop in.
+
+Parameter names (query_{i}, key_{i}, pair_pos_fc1_{i}, linear_out_{i}) match the
+reference arg names for checkpoint conversion.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+_norm_init = nn.initializers.normal(0.01)
+
+
+class RelationModule(nn.Module):
+    """One relation attention block for the detection head.
+
+    __call__(roi_feat [N, feat_dim], position_embedding [N, K, emb_dim]) -> [N, dim_out]
+    where the keys/values are the first ``nongt_dim`` (= K) rows of roi_feat.
+    """
+    index: int = 1
+    groups: int = 16
+    dim_qk: int = 1024
+    dim_out: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feat: jnp.ndarray, position_embedding: jnp.ndarray):
+        n = roi_feat.shape[0]
+        k = position_embedding.shape[1]          # nongt_dim
+        g = self.groups
+        dqk = self.dim_qk // g
+
+        nongt_feat = roi_feat[:k]                # keys/values: non-gt proposals only
+
+        # geometric bias: [N, K, emb] -> [N, K, g]
+        wg = nn.Dense(g, name=f"pair_pos_fc1_{self.index}", dtype=self.dtype,
+                      kernel_init=_norm_init)(position_embedding)
+        wg = nn.relu(wg)
+        bias = jnp.log(jnp.maximum(wg, 1e-6))    # [N, K, g]
+
+        q = nn.Dense(self.dim_qk, name=f"query_{self.index}", dtype=self.dtype,
+                     kernel_init=_norm_init)(roi_feat)
+        kk = nn.Dense(self.dim_qk, name=f"key_{self.index}", dtype=self.dtype,
+                      kernel_init=_norm_init)(nongt_feat)
+        q = q.reshape(n, g, dqk)
+        kk = kk.reshape(k, g, dqk)
+
+        aff = jnp.einsum("ngd,kgd->ngk", q, kk) / jnp.sqrt(float(dqk))
+        weighted = aff + jnp.transpose(bias, (0, 2, 1))          # [N, g, K]
+        attn = nn.softmax(weighted, axis=-1)
+
+        v = nongt_feat                                            # [K, feat]
+        out = jnp.einsum("ngk,kf->ngf", attn, v)                  # [N, g, feat]
+
+        # grouped linear_out: weight [g, feat, dim_out // g], head-major output
+        feat_dim = v.shape[-1]
+        w = self.param(f"linear_out_{self.index}_weight", _norm_init,
+                       (g, feat_dim, self.dim_out // g))
+        b = self.param(f"linear_out_{self.index}_bias", nn.initializers.zeros,
+                       (self.dim_out,))
+        y = jnp.einsum("ngf,gfe->nge", out, w).reshape(n, self.dim_out) + b
+        return y
+
+
+class NMSRelationModule(nn.Module):
+    """Per-class relation attention for the learned-NMS head.
+
+    Mirrors ``attention_module_nms_multi_head`` (reference ...learn_nms.py:158-238):
+    operates on [first_n, num_fg_classes, feat_dim] with per-class pairwise geometry.
+
+    __call__(roi_feat [N, C, F], position_embedding [C, N, N, emb]) ->
+        ([N, C, dim_out], attention [C*g, N, N]).
+    """
+    index: int = 1
+    groups: int = 16
+    dim_qk: int = 1024
+    dim_out: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feat: jnp.ndarray, position_embedding: jnp.ndarray):
+        n, c, f = roi_feat.shape
+        g = self.groups
+        dqk = self.dim_qk // g
+
+        feat = jnp.transpose(roi_feat, (1, 0, 2))                 # [C, N, F]
+
+        # geometric bias from pairwise embedding: [C, N, N, emb] -> [C, N, N, g]
+        wg = nn.Dense(g, name=f"nms_pair_pos_fc1_{self.index}", dtype=self.dtype,
+                      kernel_init=_norm_init)(position_embedding)
+        wg = nn.relu(wg)
+        bias = jnp.log(jnp.maximum(wg, 1e-6))
+        bias = jnp.transpose(bias, (0, 3, 1, 2))                  # [C, g, N, N]
+
+        q = nn.Dense(self.dim_qk, name=f"nms_query_{self.index}", dtype=self.dtype,
+                     kernel_init=_norm_init)(feat)                # [C, N, dim_qk]
+        k = nn.Dense(self.dim_qk, name=f"nms_key_{self.index}", dtype=self.dtype,
+                     kernel_init=_norm_init)(feat)
+        q = q.reshape(c, n, g, dqk)
+        k = k.reshape(c, n, g, dqk)
+
+        aff = jnp.einsum("cigd,cjgd->cgij", q, k) / jnp.sqrt(float(dqk))
+        attn = nn.softmax(aff + bias, axis=-1)                    # [C, g, N, N]
+
+        out = jnp.einsum("cgij,cjf->cgif", attn, feat)            # [C, g, N, F]
+
+        w = self.param(f"nms_linear_out_{self.index}_weight", _norm_init,
+                       (g, f, self.dim_out // g))
+        b = self.param(f"nms_linear_out_{self.index}_bias", nn.initializers.zeros,
+                       (self.dim_out,))
+        y = jnp.einsum("cgif,gfe->cige", out, w)                  # [C, g, N, out/g]
+        y = jnp.transpose(y, (0, 2, 1, 3)).reshape(c, n, self.dim_out) + b
+        return jnp.transpose(y, (1, 0, 2)), attn                  # [N, C, out]

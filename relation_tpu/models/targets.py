@@ -1,0 +1,252 @@
+"""On-device training-target assignment.
+
+Replaces the reference's host round-trip CustomOps with jit-compatible, static-shape
+computations (per-image; vmap over the batch):
+
+- anchor_targets     <- lib/rpn/rpn.py:80-243 (assign_anchor)
+- sample_rois        <- operator_py/proposal_target.py:30-143 + core/rcnn.py:369-398
+- ohem_select        <- operator_py/box_annotator_ohem.py:19-86
+- nms_multi_target   <- operator_py/nms_multi_target.py:18-112
+
+Dynamic-size index sets become rank tricks over random priorities: "sample k of the
+eligible without replacement" = "keep the k best random priorities among eligible" —
+identical in distribution to npr.choice(..., replace=False).
+
+Ground-truth boxes arrive padded to a fixed MAX_GT with a validity mask; padded rows
+are excluded by masking, and padded ROI rows get label -1 (ignored by the
+valid-normalized losses), preserving the reference's loss normalization over real rows.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from relation_tpu.ops.boxes import bbox_overlaps, bbox_transform
+
+_NEG = -1e9
+
+
+def _rank_among(mask: jnp.ndarray, priority: jnp.ndarray) -> jnp.ndarray:
+    """Rank (0-based) of each element among `mask`-selected elements, ordered by
+    descending priority. Non-selected elements get a huge rank."""
+    key = jnp.where(mask, priority, _NEG)
+    order = jnp.argsort(-key)                       # best first
+    ranks = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+    return jnp.where(mask, ranks, jnp.int32(1 << 30))
+
+
+def anchor_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
+                   gt_valid: jnp.ndarray, im_info: jnp.ndarray, rng: jax.Array,
+                   rpn_batch_size: int = 256, fg_fraction: float = 0.5,
+                   positive_overlap: float = 0.7, negative_overlap: float = 0.3,
+                   clobber_positives: bool = False, allowed_border: float = 0.0,
+                   bbox_weights=(1.0, 1.0, 1.0, 1.0)):
+    """RPN anchor label/target assignment for one image, on device.
+
+    anchors: [K, 4] full grid; gt_boxes: [G, 5] (x1,y1,x2,y2,cls) padded;
+    gt_valid: [G] bool; im_info: [3].
+    Returns (label [K] in {-1,0,1}, bbox_target [K,4], bbox_weight [K,4]).
+    """
+    K = anchors.shape[0]
+    inside = ((anchors[:, 0] >= -allowed_border) &
+              (anchors[:, 1] >= -allowed_border) &
+              (anchors[:, 2] < im_info[1] + allowed_border) &
+              (anchors[:, 3] < im_info[0] + allowed_border))
+
+    num_gt = jnp.sum(gt_valid.astype(jnp.int32))
+    overlaps = bbox_overlaps(anchors, gt_boxes[:, :4])          # [K, G]
+    overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
+    overlaps = jnp.where(inside[:, None], overlaps, -1.0)
+
+    argmax_overlaps = jnp.argmax(overlaps, axis=1)              # [K]
+    max_overlaps = jnp.max(overlaps, axis=1)
+    max_overlaps = jnp.maximum(max_overlaps, 0.0)               # -1 rows -> 0
+    gt_max = jnp.max(overlaps, axis=0)                          # [G]
+    # anchors achieving a per-gt max (reference rpn.py:169-171 uses equality over
+    # the whole matrix, catching ties)
+    is_gt_best = jnp.any((overlaps == gt_max[None, :]) & gt_valid[None, :]
+                         & (gt_max[None, :] > 0), axis=1)
+
+    label = jnp.full((K,), -1, dtype=jnp.int32)
+    neg = max_overlaps < negative_overlap
+    pos = is_gt_best | (max_overlaps >= positive_overlap)
+    if clobber_positives:
+        label = jnp.where(pos, 1, label)
+        label = jnp.where(neg, 0, label)
+    else:
+        label = jnp.where(neg, 0, label)
+        label = jnp.where(pos, 1, label)
+    label = jnp.where(inside, label, -1)
+    # no gt at all -> all inside anchors are background (rpn.py:185-186)
+    label = jnp.where((num_gt == 0) & inside, 0, label)
+
+    # subsample
+    k_fg, k_bg = jax.random.split(rng)
+    num_fg_cap = int(fg_fraction * rpn_batch_size)
+    fg_mask = label == 1
+    fg_rank = _rank_among(fg_mask, jax.random.uniform(k_fg, (K,)))
+    label = jnp.where(fg_mask & (fg_rank >= num_fg_cap), -1, label)
+
+    num_fg_kept = jnp.sum((label == 1).astype(jnp.int32))
+    num_bg_cap = rpn_batch_size - num_fg_kept
+    bg_mask = label == 0
+    bg_rank = _rank_among(bg_mask, jax.random.uniform(k_bg, (K,)))
+    label = jnp.where(bg_mask & (bg_rank >= num_bg_cap), -1, label)
+
+    target = bbox_transform(anchors, gt_boxes[argmax_overlaps, :4])
+    target = jnp.where((num_gt > 0) & (label[:, None] == 1), target, 0.0)
+    weight = jnp.where(label[:, None] == 1,
+                       jnp.asarray(bbox_weights, dtype=jnp.float32)[None, :], 0.0)
+    return label, target, weight
+
+
+def expand_bbox_targets(labels: jnp.ndarray, targets: jnp.ndarray,
+                        num_reg_classes: int, bbox_weights=(1.0, 1.0, 1.0, 1.0)):
+    """[R] labels + [R, 4] targets -> one-hot-expanded [R, 4*num_reg_classes]
+    targets/weights (reference lib/bbox/bbox_regression.py:117-140; class-agnostic
+    puts every fg in group 1)."""
+    R = labels.shape[0]
+    if num_reg_classes == 2:
+        group = jnp.where(labels > 0, 1, 0)
+    else:
+        group = jnp.clip(labels, 0, num_reg_classes - 1)
+    onehot = jax.nn.one_hot(group, num_reg_classes, dtype=jnp.float32)  # [R, Krc]
+    fg = (labels > 0).astype(jnp.float32)[:, None, None]
+    expanded = (onehot[:, :, None] * targets[:, None, :] * fg)
+    w = jnp.asarray(bbox_weights, dtype=jnp.float32)
+    weights = onehot[:, :, None] * w[None, None, :] * fg
+    return expanded.reshape(R, -1), weights.reshape(R, -1)
+
+
+def sample_rois(rois: jnp.ndarray, roi_valid: jnp.ndarray, gt_boxes: jnp.ndarray,
+                gt_valid: jnp.ndarray, rng: jax.Array, *,
+                batch_rois: int, num_reg_classes: int, fg_fraction: float = 0.25,
+                fg_thresh: float = 0.5, bg_thresh_hi: float = 0.5,
+                bg_thresh_lo: float = 0.0, bbox_normalize: bool = False,
+                bbox_means=(0., 0., 0., 0.), bbox_stds=(0.1, 0.1, 0.2, 0.2),
+                bbox_weights=(1.0, 1.0, 1.0, 1.0)):
+    """proposal_target: append gt rois, FG/BG-sample (or take all), emit targets.
+
+    rois: [R, 4] proposals (padding allowed, flagged by roi_valid); gt padded [G, 5].
+    Take-all mode (batch_rois < 0, reference proposal_target.py:50-61 /
+    core/rcnn.py sample_rois_v2) keeps everything: output size R + G.
+    Sampled mode outputs exactly batch_rois rows.
+
+    Returns dict(rois [S,4], label [S] (-1 ignore), bbox_target [S, 4*Krc],
+                 bbox_weight [S, 4*Krc]) with S = R+G or batch_rois.
+    """
+    R = rois.shape[0]
+    G = gt_boxes.shape[0]
+    all_rois = jnp.concatenate([rois, gt_boxes[:, :4]], axis=0)     # [R+G, 4]
+    all_valid = jnp.concatenate([roi_valid, gt_valid], axis=0)
+
+    num_gt = jnp.sum(gt_valid.astype(jnp.int32))
+    overlaps = bbox_overlaps(all_rois, gt_boxes[:, :4])             # [R+G, G]
+    overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
+    gt_assignment = jnp.argmax(overlaps, axis=1)
+    max_overlaps = jnp.maximum(jnp.max(overlaps, axis=1), 0.0)
+    raw_label = gt_boxes[gt_assignment, 4].astype(jnp.int32)
+
+    fg = all_valid & (max_overlaps >= fg_thresh) & (num_gt > 0)
+    bg = all_valid & (max_overlaps < bg_thresh_hi) & (max_overlaps >= bg_thresh_lo)
+    label = jnp.where(fg, raw_label, jnp.where(bg, 0, -1))
+
+    if batch_rois < 0:
+        sel_rois, sel_label = all_rois, label
+        sel_assignment, sel_fg = gt_assignment, fg
+    else:
+        k_fg, k_bg, k_pad = jax.random.split(rng, 3)
+        fg_cap = int(round(fg_fraction * batch_rois))
+        fg_rank = _rank_among(fg, jax.random.uniform(k_fg, (R + G,)))
+        fg_sel = fg & (fg_rank < fg_cap)
+        n_fg = jnp.sum(fg_sel.astype(jnp.int32))
+        bg_rank = _rank_among(bg, jax.random.uniform(k_bg, (R + G,)))
+        bg_sel = bg & (bg_rank < batch_rois - n_fg)
+        # ordering key: selected fg(0) < selected bg(1) < pad pool(2); random within
+        key = jnp.where(fg_sel, 0, jnp.where(bg_sel, 1, 2)).astype(jnp.float32)
+        key = key + jax.random.uniform(k_pad, (R + G,)) * 0.5
+        key = jnp.where(all_valid, key, 1e6)      # padded rows last
+        order = jnp.argsort(key)[:batch_rois]
+        sel_rois = all_rois[order]
+        raw = label[order]
+        # pad-pool rows behave like the reference's random re-draw: they keep their
+        # fg/bg label semantics (fg label if >= fg_thresh else background)
+        sel_label = jnp.where(raw == -1,
+                              jnp.where(max_overlaps[order] >= fg_thresh,
+                                        raw_label[order], 0), raw)
+        sel_label = jnp.where(all_valid[order], sel_label, -1)
+        sel_assignment = gt_assignment[order]
+        sel_fg = sel_label > 0
+
+    targets = bbox_transform(sel_rois, gt_boxes[sel_assignment, :4])
+    if bbox_normalize:
+        targets = (targets - jnp.asarray(bbox_means)) / jnp.asarray(bbox_stds)
+    targets = jnp.where((num_gt > 0) & sel_fg[:, None], targets, 0.0)
+    bbox_target, bbox_weight = expand_bbox_targets(
+        jnp.where(sel_fg, sel_label, 0), targets, num_reg_classes, bbox_weights)
+    return {"rois": sel_rois, "label": sel_label,
+            "bbox_target": bbox_target, "bbox_weight": bbox_weight}
+
+
+def ohem_select(cls_score: jnp.ndarray, bbox_pred: jnp.ndarray, label: jnp.ndarray,
+                bbox_target: jnp.ndarray, bbox_weight: jnp.ndarray,
+                roi_per_img: int):
+    """Online hard example mining: keep the roi_per_img highest-loss ROIs.
+
+    Mirrors BoxAnnotatorOHEM (operator_py/box_annotator_ohem.py:19-86): per-ROI loss
+    is cls NLL + smooth-l1 bbox loss; non-kept ROIs get label -1 / weight 0.
+    Ignored rows (label -1) never win a slot.
+    """
+    logp = jax.nn.log_softmax(cls_score, axis=-1)
+    safe_label = jnp.clip(label, 0, cls_score.shape[-1] - 1)
+    cls_loss = -jnp.take_along_axis(logp, safe_label[:, None], axis=1)[:, 0]
+
+    diff = jnp.abs(bbox_pred - bbox_target)
+    sl1 = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5)
+    box_loss = jnp.sum(bbox_weight * sl1, axis=1)
+
+    per_roi = jnp.where(label >= 0, cls_loss + box_loss, _NEG)
+    rank = _rank_among(label >= 0, per_roi)
+    keep = (label >= 0) & (rank < roi_per_img)
+    labels_ohem = jnp.where(keep, label, -1)
+    weights_ohem = jnp.where(keep[:, None], bbox_weight, 0.0)
+    return labels_ohem, weights_ohem
+
+
+def nms_multi_target(sorted_bbox: jnp.ndarray, gt_boxes: jnp.ndarray,
+                     gt_valid: jnp.ndarray, sorted_score: jnp.ndarray,
+                     target_thresh) -> jnp.ndarray:
+    """Learned-NMS training target: per (fg class, IoU threshold), mark the one
+    max-score box whose best-overlap gt matches, mAP-style.
+
+    sorted_bbox: [F, C, 4]; gt_boxes: [G, 5] padded; sorted_score: [F, C];
+    target_thresh: sequence of T thresholds.
+    Returns [F, C, T] float targets. Mirrors operator_py/nms_multi_target.py:24-74.
+    """
+    F, C, _ = sorted_bbox.shape
+    G = gt_boxes.shape[0]
+    thr = jnp.asarray(target_thresh, dtype=jnp.float32)          # [T]
+
+    def per_class(cls_idx):
+        valid_g = gt_valid & (gt_boxes[:, 4].astype(jnp.int32) == cls_idx + 1)
+        ov = bbox_overlaps(sorted_bbox[:, cls_idx, :], gt_boxes[:, :4])  # [F, G]
+        ov_valid = jnp.where(valid_g[None, :], ov, -1.0)
+        best_gt = jnp.argmax(ov_valid, axis=1)                   # [F]
+        best_onehot = jax.nn.one_hot(best_gt, G)                 # [F, G]
+        score = sorted_score[:, cls_idx]
+
+        def per_thresh(t):
+            mask = (ov_valid > t)                                # [F, G]
+            has_any = jnp.any(mask, axis=1)                      # valid_bbox rows
+            oscore = score[:, None] * mask * best_onehot         # [F, G]
+            winner = jnp.argmax(oscore, axis=0)                  # [G]
+            marked = jnp.any(jax.nn.one_hot(winner, F, dtype=bool).T
+                             & valid_g[None, :], axis=1)         # [F]
+            return (marked & has_any).astype(jnp.float32)
+
+        out = jax.vmap(per_thresh)(thr)                          # [T, F]
+        any_gt = jnp.any(valid_g)
+        return jnp.where(any_gt, out.T, 0.0)                     # [F, T]
+
+    return jax.vmap(per_class)(jnp.arange(C)).transpose(1, 0, 2)  # [F, C, T]

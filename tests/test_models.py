@@ -1,0 +1,113 @@
+"""Model-layer tests: relation attention math vs a NumPy oracle, learned-NMS head
+shapes/semantics, tiny end-to-end detector forward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from relation_tpu.models.relation import RelationModule
+from relation_tpu.models.learn_nms import LearnNMSHead, merge_multi_score
+from relation_tpu.models.detector import RelationRCNN
+from relation_tpu.ops.embeddings import (extract_position_matrix,
+                                         extract_position_embedding)
+
+
+def np_relation_oracle(params, roi_feat, pos_emb, groups, dim_qk):
+    """NumPy re-derivation of the relation formula (weighted_aff = log(max(wg,1e-6))
+    + QK^T/sqrt(d)) for an independent check."""
+    n, k = roi_feat.shape[0], pos_emb.shape[1]
+    p = params
+    wg = np.maximum(pos_emb @ p["pair_pos_fc1_1"]["kernel"] + p["pair_pos_fc1_1"]["bias"], 0)
+    q = roi_feat @ p["query_1"]["kernel"] + p["query_1"]["bias"]
+    kk = roi_feat[:k] @ p["key_1"]["kernel"] + p["key_1"]["bias"]
+    dg = dim_qk // groups
+    q = q.reshape(n, groups, dg)
+    kk = kk.reshape(k, groups, dg)
+    aff = np.einsum("ngd,kgd->ngk", q, kk) / np.sqrt(dg)
+    weighted = aff + np.transpose(np.log(np.maximum(wg, 1e-6)), (0, 2, 1))
+    e = np.exp(weighted - weighted.max(axis=-1, keepdims=True))
+    attn = e / e.sum(axis=-1, keepdims=True)
+    out = np.einsum("ngk,kf->ngf", attn, roi_feat[:k])
+    w = p["linear_out_1_weight"]
+    b = p["linear_out_1_bias"]
+    return np.einsum("ngf,gfe->nge", out, w).reshape(n, -1) + b
+
+
+def test_relation_module_matches_oracle(rng):
+    n, k, feat, groups = 12, 8, 32, 4
+    mod = RelationModule(index=1, groups=groups, dim_qk=32, dim_out=32)
+    roi_feat = jnp.asarray(rng.randn(n, feat).astype(np.float32))
+    pos_emb = jnp.asarray(rng.randn(n, k, 16).astype(np.float32))
+    params = mod.init(jax.random.PRNGKey(0), roi_feat, pos_emb)["params"]
+    got = np.asarray(mod.apply({"params": params}, roi_feat, pos_emb))
+    p_np = jax.tree.map(np.asarray, params)
+    want = np_relation_oracle(p_np, np.asarray(roi_feat), np.asarray(pos_emb),
+                              groups, 32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_position_embedding_shapes(rng):
+    rois = jnp.asarray(rng.uniform(0, 100, (10, 4)).astype(np.float32))
+    rois = rois.at[:, 2:].set(rois[:, :2] + 10)
+    pm = extract_position_matrix(rois, nongt_dim=6)
+    assert pm.shape == (10, 6, 4)
+    emb = extract_position_embedding(pm, 64)
+    assert emb.shape == (10, 6, 64)
+    # diagonal geometry: dx=dy=log(1e-3), dw=dh=0
+    np.testing.assert_allclose(np.asarray(pm)[0, 0, 0], np.log(1e-3), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pm)[0, 0, 2], 0.0, atol=1e-6)
+
+
+def test_learn_nms_head(rng):
+    n, num_classes, first_n, num_thresh = 24, 5, 8, 3
+    head = LearnNMSHead(num_fg_classes=num_classes - 1, first_n=first_n,
+                        num_thresh=num_thresh)
+    cls_score = jnp.asarray(rng.randn(n, num_classes).astype(np.float32))
+    bbox_pred = jnp.asarray(rng.randn(n, 8).astype(np.float32) * 0.1)
+    x1 = rng.uniform(0, 80, (n,))
+    y1 = rng.uniform(0, 80, (n,))
+    rois = jnp.asarray(np.stack([x1, y1, x1 + 20, y1 + 20], 1).astype(np.float32))
+    roi_feat = jnp.asarray(rng.randn(n, 16).astype(np.float32))
+    im_info = jnp.asarray([100.0, 100.0, 1.0])
+
+    params = head.init(jax.random.PRNGKey(1), cls_score, bbox_pred, rois,
+                       roi_feat, im_info)
+    out = head.apply(params, cls_score, bbox_pred, rois, roi_feat, im_info)
+    assert out["nms_multi_score"].shape == (first_n, num_classes - 1, num_thresh)
+    assert out["sorted_bbox"].shape == (first_n, num_classes - 1, 4)
+    # sorted_score descending per class and equal to sorted softmax probs
+    ss = np.asarray(out["sorted_score"])
+    assert np.all(np.diff(ss, axis=0) <= 1e-6)
+    probs = np.asarray(jax.nn.softmax(cls_score, -1))[:, 1:]
+    np.testing.assert_allclose(ss, -np.sort(-probs, axis=0)[:first_n], rtol=1e-5)
+    # conditional score near sigmoid(-3) at init (logit bias -3, small weights)
+    cond = np.asarray(out["nms_conditional_score"])
+    assert abs(cond.mean() - 1.0 / (1 + np.exp(3.0))) < 0.02
+    # multi_score = sorted_score * conditional
+    np.testing.assert_allclose(np.asarray(out["nms_multi_score"]),
+                               ss[..., None] * cond, rtol=1e-5)
+    # merge methods
+    m = merge_multi_score(out["nms_multi_score"], -1)
+    assert m.shape == (first_n, num_classes - 1)
+    m2 = merge_multi_score(out["nms_multi_score"], 1)
+    np.testing.assert_allclose(np.asarray(m2),
+                               np.asarray(out["nms_multi_score"])[:, :, 1])
+
+
+def test_detector_tiny_forward(rng):
+    model = RelationRCNN(num_classes=5, num_anchors=3, backbone="tiny",
+                         head_dim=64, use_relation=True, use_learn_nms=True,
+                         first_n=8, num_thresh=3, conv_dtype=jnp.float32)
+    img = jnp.asarray(rng.randn(64, 64, 3).astype(np.float32))
+    n_rois = 16
+    x1 = rng.uniform(0, 40, (n_rois,))
+    y1 = rng.uniform(0, 40, (n_rois,))
+    rois = jnp.asarray(np.stack([x1, y1, x1 + 20, y1 + 20], 1).astype(np.float32))
+    im_info = jnp.asarray([64.0, 64.0, 1.0])
+    params = model.init(jax.random.PRNGKey(0), img, rois, im_info, 12)
+    out = model.apply(params, img, rois, im_info, 12)
+    assert out["rpn_cls"].shape == (4, 4, 3, 2)
+    assert out["rpn_bbox"].shape == (4, 4, 3, 4)
+    assert out["cls_score"].shape == (n_rois, 5)
+    assert out["bbox_pred"].shape == (n_rois, 8)
+    assert out["nms_multi_score"].shape == (8, 4, 3)
