@@ -1,0 +1,147 @@
+"""Inference pipeline + on-device post-processing.
+
+Replaces the reference Predictor/im_detect/pred_eval host pipeline
+(core/tester.py:27-342). The whole per-image path — backbone, RPN, on-device
+proposals, head, learned NMS or classwise (soft-)NMS — is ONE jit region; the only
+host work left is accumulating final padded detections for COCO eval.
+
+Post-processing parity (core/tester.py:264-295):
+- learned-NMS path: threshold filter + global max_per_image cut, no extra NMS
+- classic path: per-class greedy NMS (or soft-NMS) then max_per_image
+- boxes are divided by im_scale back to original image coordinates (tester.py:158)
+
+Detections come back as a fixed-size [max_det, 6] array (cls_id, score, x1,y1,x2,y2)
+with -1 class padding — static shapes end to end.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relation_tpu.models.detector import RelationRCNN
+from relation_tpu.models.rpn import generate_proposals
+from relation_tpu.models.learn_nms import merge_multi_score
+from relation_tpu.ops.anchors import generate_anchors, shift_anchors
+from relation_tpu.ops.boxes import bbox_pred, clip_boxes
+from relation_tpu.ops.nms import greedy_nms_mask, soft_nms
+
+_NEG_INF = -1e10
+
+
+def _topk_detections(cls_ids, scores, boxes, valid, max_det):
+    """Global max_per_image cut over all classes (tester.py:270-277), padded."""
+    masked = jnp.where(valid, scores, _NEG_INF)
+    top_scores, idx = jax.lax.top_k(masked, max_det)
+    real = top_scores > _NEG_INF / 2
+    out = jnp.concatenate([
+        jnp.where(real, cls_ids[idx], -1)[:, None].astype(jnp.float32),
+        jnp.where(real, top_scores, 0.0)[:, None],
+        boxes[idx] * real[:, None],
+    ], axis=1)
+    return out
+
+
+def make_predict_fn(model: RelationRCNN, cfg, feat_hw: tuple[int, int]):
+    """Build the jitted single-image inference function for one bucket.
+
+    Returns fn(params, image [H,W,3], im_info [3]) -> dict with
+      detections [max_per_image, 6]  (cls, score, x1, y1, x2, y2; original coords)
+      and the raw head outputs for diagnostics.
+    """
+    stride = int(cfg.network.RPN_FEAT_STRIDE)
+    base_anchors = generate_anchors(stride, tuple(cfg.network.ANCHOR_RATIOS),
+                                    tuple(cfg.network.ANCHOR_SCALES))
+    fh, fw = feat_hw
+    nongt_dim = int(cfg.TEST.RPN_POST_NMS_TOP_N)
+    num_classes = int(cfg.dataset.NUM_CLASSES)
+    max_det = int(cfg.TEST.max_per_image)
+    learn_nms = bool(cfg.TEST.LEARN_NMS)
+    softnms = bool(cfg.TEST.SOFTNMS)
+    nms_thresh = float(cfg.TEST.NMS)
+    merge_method = int(cfg.TEST.MERGE_METHOD)
+    score_thresh = 1e-3
+    class_agnostic = bool(cfg.CLASS_AGNOSTIC)
+    stds = tuple(cfg.TRAIN.BBOX_STDS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None
+    means = tuple(cfg.TRAIN.BBOX_MEANS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None
+
+    def predict(params, image, im_info):
+        feat, rpn_cls, rpn_bbox = model.apply(
+            {"params": params}, image, method=RelationRCNN.features_and_rpn)
+        anchors = shift_anchors(base_anchors, fh, fw, stride)
+        fg_prob = jax.nn.softmax(rpn_cls, axis=-1)[..., 1]
+        rois, roi_scores, roi_real = generate_proposals(
+            fg_prob, rpn_bbox, anchors, im_info, stride,
+            int(cfg.TEST.RPN_PRE_NMS_TOP_N), int(cfg.TEST.RPN_POST_NMS_TOP_N),
+            float(cfg.TEST.RPN_NMS_THRESH), float(cfg.TEST.RPN_MIN_SIZE))
+
+        cls_score, bbox_deltas, fc2 = model.apply(
+            {"params": params}, feat, rois, nongt_dim, method=RelationRCNN.head)
+        out = {"rois": rois, "roi_scores": roi_scores}
+
+        if learn_nms:
+            ln = model.apply({"params": params}, cls_score, bbox_deltas, rois, fc2,
+                             im_info, method=RelationRCNN.learn_nms)
+            final = merge_multi_score(ln["nms_multi_score"], merge_method)  # [F, C]
+            boxes = ln["sorted_bbox"] / im_info[2]                          # [F, C, 4]
+            F, C = final.shape
+            cls_ids = jnp.broadcast_to(jnp.arange(1, C + 1)[None, :], (F, C))
+            valid = final > score_thresh
+            dets = _topk_detections(cls_ids.reshape(-1), final.reshape(-1),
+                                    boxes.reshape(-1, 4), valid.reshape(-1), max_det)
+            out.update(dets=dets, sorted_bbox=ln["sorted_bbox"],
+                       sorted_score=ln["sorted_score"], final_score=final)
+        else:
+            cls_prob = jax.nn.softmax(cls_score, axis=-1)                   # [N, C]
+            deltas = bbox_deltas
+            if stds is not None:
+                # undo train-time target normalization (the reference folds this
+                # into *_test weights at checkpoint time, callback.py:54-61)
+                k = deltas.shape[1] // 4
+                deltas = (deltas.reshape(-1, k, 4) * jnp.asarray(stds)
+                          + jnp.asarray(means)).reshape(-1, 4 * k)
+            boxes_all = bbox_pred(rois, deltas)                             # [N, 4K]
+            boxes_all = clip_boxes(boxes_all, (im_info[0], im_info[1]))
+            boxes_all = boxes_all / im_info[2]
+
+            N = cls_prob.shape[0]
+            fg_classes = num_classes - 1
+            scores_t = cls_prob[:, 1:].T                                    # [C, N]
+            if class_agnostic:
+                boxes_c = jnp.broadcast_to(
+                    boxes_all.reshape(N, -1, 4)[:, 1][None], (fg_classes, N, 4))
+            else:
+                boxes_c = boxes_all.reshape(N, -1, 4)[:, 1:]
+                boxes_c = jnp.transpose(boxes_c, (1, 0, 2))                 # [C, N, 4]
+            valid = (scores_t > score_thresh) & roi_real[None, :]
+
+            if softnms:
+                sigma = nms_thresh
+                idx, ks, kv = jax.vmap(
+                    lambda b, s, v: soft_nms(b, s, sigma, max_det, v,
+                                             score_floor=score_thresh)
+                )(boxes_c, scores_t, valid)
+                # [C, max_det] kept entries
+                cls_ids = jnp.broadcast_to(
+                    jnp.arange(1, fg_classes + 1)[:, None], idx.shape)
+                kb = jnp.take_along_axis(boxes_c, idx[..., None], axis=1)
+                dets = _topk_detections(cls_ids.reshape(-1), ks.reshape(-1),
+                                        kb.reshape(-1, 4), kv.reshape(-1), max_det)
+            else:
+                keep = jax.vmap(
+                    lambda b, s, v: greedy_nms_mask(b, s, nms_thresh, v)
+                )(boxes_c, scores_t, valid)                                 # [C, N]
+                cls_ids = jnp.broadcast_to(
+                    jnp.arange(1, fg_classes + 1)[:, None], keep.shape)
+                dets = _topk_detections(cls_ids.reshape(-1),
+                                        scores_t.reshape(-1),
+                                        boxes_c.reshape(-1, 4),
+                                        keep.reshape(-1), max_det)
+            out.update(dets=dets, cls_prob=cls_prob, pred_boxes=boxes_all)
+        return out
+
+    return jax.jit(predict)

@@ -1,0 +1,238 @@
+"""pjit data-parallel trainer: one fused on-device train step.
+
+Replaces the reference's training runtime (MutableModule.fit epoch loop,
+core/module.py:993-1038; DataParallelExecutorGroup per-GPU executors + kvstore
+'device' gradient reduce, core/module.py:473-518) with:
+
+- a single jit region per step: backbone -> RPN -> anchor targets -> on-device
+  proposals -> ROI sampling -> head (+relation) -> losses (+OHEM, +learned NMS) ->
+  grads -> SGD update. No host round trips (the reference has 4 per step, SURVEY §3.1).
+- data parallelism via a jax.sharding Mesh: batch sharded on the 'data' axis, params
+  replicated; XLA emits the gradient all-reduce over ICI when differentiating the
+  batch-mean loss (the kvstore-'device' equivalent).
+- frozen parameters (network.FIXED_PARAMS prefix matching, reference
+  core/module.py:753-773) as a gradient mask + weight-decay mask.
+- SGD with momentum + weight decay and the WarmupMultiFactor schedule
+  (lib/utils/lr_scheduler.py), rescale_grad 1/batch via batch-mean loss
+  (core/module.py:479).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.traverse_util import flatten_dict
+
+from relation_tpu.models.detector import RelationRCNN
+from relation_tpu.models.rpn import generate_proposals
+from relation_tpu.models.targets import (anchor_targets, sample_rois, ohem_select,
+                                         nms_multi_target)
+from relation_tpu.models.losses import (rpn_losses, rcnn_losses, learn_nms_losses,
+                                        accuracy_ignore, nms_accuracy)
+from relation_tpu.ops.anchors import generate_anchors, shift_anchors
+from relation_tpu.utils.lr import warmup_multi_factor_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+def build_model(cfg, tiny: bool = False) -> RelationRCNN:
+    """Instantiate the detector from a reference-schema config."""
+    threshes = np.fromstring(cfg.network.NMS_TARGET_THRESH, dtype=float, sep=",")
+    return RelationRCNN(
+        num_classes=cfg.dataset.NUM_CLASSES,
+        num_anchors=cfg.network.NUM_ANCHORS,
+        class_agnostic=cfg.CLASS_AGNOSTIC,
+        use_relation="attention" in cfg.symbol,
+        use_learn_nms=bool(cfg.TRAIN.LEARN_NMS or cfg.TEST.LEARN_NMS),
+        first_n=int(cfg.TRAIN.FIRST_N),
+        num_thresh=len(threshes),
+        bbox_means=tuple(cfg.TRAIN.BBOX_MEANS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None,
+        bbox_stds=tuple(cfg.TRAIN.BBOX_STDS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None,
+        rcnn_feat_stride=int(cfg.network.RCNN_FEAT_STRIDE),
+        backbone="tiny" if tiny else "resnet101",
+        head_dim=64 if tiny else 1024,
+        conv_dtype=jnp.float32 if tiny else jnp.bfloat16,
+    )
+
+
+def trainable_mask(params, fixed_prefixes) -> Any:
+    """True where trainable. A leaf is frozen if any path component starts with any
+    FIXED_PARAMS prefix (reference module.py:753-773 matches name prefixes; gamma/
+    beta/moving_* are the frozen-BN constants)."""
+    always_frozen = ("gamma", "beta", "moving_mean", "moving_var")
+    prefixes = tuple(fixed_prefixes) + always_frozen
+
+    flat = flatten_dict(params)
+    out = {}
+    for path in flat:
+        frozen = any(comp.startswith(p) for comp in path for p in prefixes)
+        out[path] = not frozen
+    from flax.traverse_util import unflatten_dict
+    return unflatten_dict(out)
+
+
+def make_optimizer(cfg, epoch_size: int, mask) -> optax.GradientTransformation:
+    base_lr = float(cfg.TRAIN.lr)
+    steps = [int(float(s) * epoch_size)
+             for s in str(cfg.TRAIN.lr_step).split(",") if s.strip()]
+    sched = warmup_multi_factor_schedule(
+        base_lr, steps, float(cfg.TRAIN.lr_factor), bool(cfg.TRAIN.warmup),
+        float(cfg.TRAIN.warmup_lr), int(cfg.TRAIN.warmup_step))
+    tx = optax.chain(
+        optax.masked(optax.add_decayed_weights(float(cfg.TRAIN.wd)), mask),
+        optax.sgd(learning_rate=sched, momentum=float(cfg.TRAIN.momentum)),
+        optax.masked(optax.set_to_zero(), jax.tree.map(lambda t: not t, mask)),
+    )
+    return tx
+
+
+def make_train_step(model: RelationRCNN, cfg, feat_hw: tuple[int, int],
+                    max_gt: int) -> Callable:
+    """Build the per-batch train step for one image bucket (static feature H, W)."""
+    stride = int(cfg.network.RPN_FEAT_STRIDE)
+    base_anchors = generate_anchors(stride, tuple(cfg.network.ANCHOR_RATIOS),
+                                    tuple(cfg.network.ANCHOR_SCALES))
+    fh, fw = feat_hw
+    nongt_dim = int(cfg.TRAIN.RPN_POST_NMS_TOP_N)
+    batch_rois = int(cfg.TRAIN.BATCH_ROIS)
+    num_reg = 2 if cfg.CLASS_AGNOSTIC else cfg.dataset.NUM_CLASSES
+    threshes = tuple(np.fromstring(cfg.network.NMS_TARGET_THRESH, dtype=float,
+                                   sep=","))
+    ohem = bool(cfg.TRAIN.ENABLE_OHEM)
+    learn_nms = bool(cfg.TRAIN.LEARN_NMS)
+    if learn_nms and batch_rois >= 0:
+        raise ValueError("LEARN_NMS requires take-all ROI mode (BATCH_ROIS=-1), "
+                         "as in the reference configs")
+    bbox_norm_denom = float(cfg.TRAIN.BATCH_ROIS_OHEM if ohem
+                            else (300 if batch_rois < 0 else batch_rois))
+
+    def per_image(params, image, im_info, gt_boxes, gt_valid, rng):
+        r_anchor, r_sample = jax.random.split(rng)
+        feat, rpn_cls, rpn_bbox = model.apply(
+            {"params": params}, image, method=RelationRCNN.features_and_rpn)
+        anchors = shift_anchors(base_anchors, fh, fw, stride)
+
+        label, btgt, bwt = anchor_targets(
+            anchors, gt_boxes, gt_valid, im_info, r_anchor,
+            rpn_batch_size=int(cfg.TRAIN.RPN_BATCH_SIZE),
+            fg_fraction=float(cfg.TRAIN.RPN_FG_FRACTION),
+            positive_overlap=float(cfg.TRAIN.RPN_POSITIVE_OVERLAP),
+            negative_overlap=float(cfg.TRAIN.RPN_NEGATIVE_OVERLAP),
+            clobber_positives=bool(cfg.TRAIN.RPN_CLOBBER_POSITIVES),
+            bbox_weights=tuple(cfg.TRAIN.RPN_BBOX_WEIGHTS))
+        rpn_cls_flat = rpn_cls.reshape(-1, 2)
+        rpn_bbox_flat = rpn_bbox.reshape(-1, 4)
+        rpn_cls_loss, rpn_bbox_loss = rpn_losses(
+            rpn_cls_flat, rpn_bbox_flat, label, btgt, bwt,
+            int(cfg.TRAIN.RPN_BATCH_SIZE), sigma=float(cfg.TRAIN.rpn_loss_scale))
+
+        fg_prob = jax.nn.softmax(rpn_cls, axis=-1)[..., 1]
+        rois, _, _ = generate_proposals(
+            jax.lax.stop_gradient(fg_prob), jax.lax.stop_gradient(rpn_bbox),
+            anchors, im_info, stride,
+            int(cfg.TRAIN.RPN_PRE_NMS_TOP_N), int(cfg.TRAIN.RPN_POST_NMS_TOP_N),
+            float(cfg.TRAIN.RPN_NMS_THRESH), float(cfg.TRAIN.RPN_MIN_SIZE))
+
+        tgt = sample_rois(
+            rois, jnp.ones(rois.shape[0], bool), gt_boxes, gt_valid, r_sample,
+            batch_rois=batch_rois, num_reg_classes=num_reg,
+            fg_fraction=float(cfg.TRAIN.FG_FRACTION),
+            fg_thresh=float(cfg.TRAIN.FG_THRESH),
+            bg_thresh_hi=float(cfg.TRAIN.BG_THRESH_HI),
+            bg_thresh_lo=float(cfg.TRAIN.BG_THRESH_LO),
+            bbox_normalize=bool(cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED),
+            bbox_means=tuple(cfg.TRAIN.BBOX_MEANS),
+            bbox_stds=tuple(cfg.TRAIN.BBOX_STDS),
+            bbox_weights=tuple(np.asarray(cfg.TRAIN.BBOX_WEIGHTS).tolist()))
+
+        cls_score, bbox_pred, fc2 = model.apply(
+            {"params": params}, feat, tgt["rois"], nongt_dim,
+            method=RelationRCNN.head)
+
+        rlabel, rweight = tgt["label"], tgt["bbox_weight"]
+        if ohem:
+            rlabel, rweight = ohem_select(cls_score, bbox_pred, rlabel,
+                                          tgt["bbox_target"], rweight,
+                                          int(cfg.TRAIN.BATCH_ROIS_OHEM))
+        rcnn_cls_loss, rcnn_bbox_loss = rcnn_losses(
+            cls_score, bbox_pred, rlabel, tgt["bbox_target"], rweight,
+            bbox_norm_denom)
+
+        total = rpn_cls_loss + rpn_bbox_loss + rcnn_cls_loss + rcnn_bbox_loss
+        metrics = {
+            "rpn_cls_loss": rpn_cls_loss, "rpn_bbox_loss": rpn_bbox_loss,
+            "rcnn_cls_loss": rcnn_cls_loss, "rcnn_bbox_loss": rcnn_bbox_loss,
+            "rpn_acc": accuracy_ignore(rpn_cls_flat, label),
+            "rcnn_acc": accuracy_ignore(cls_score, rlabel),
+        }
+
+        if learn_nms:
+            ln = model.apply(
+                {"params": params}, cls_score[:nongt_dim], bbox_pred[:nongt_dim],
+                tgt["rois"][:nongt_dim], fc2[:nongt_dim], im_info,
+                method=RelationRCNN.learn_nms)
+            nt = nms_multi_target(ln["sorted_bbox"], gt_boxes, gt_valid,
+                                  jax.lax.stop_gradient(ln["sorted_score"]),
+                                  threshes)
+            nms_total, pos_l, neg_l = learn_nms_losses(
+                ln["nms_multi_score"], nt, float(cfg.TRAIN.nms_loss_scale),
+                float(cfg.TRAIN.nms_pos_scale))
+            acc_pos, acc_neg = nms_accuracy(ln["nms_multi_score"], nt)
+            total = total + nms_total
+            metrics.update({"nms_pos_loss": pos_l, "nms_neg_loss": neg_l,
+                            "nms_acc_pos": acc_pos, "nms_acc_neg": acc_neg})
+
+        metrics["total_loss"] = total
+        return total, metrics
+
+    def train_step(state: TrainState, batch):
+        """batch: dict(image [B,H,W,3], im_info [B,3], gt_boxes [B,G,5],
+        gt_valid [B,G])."""
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        B = batch["image"].shape[0]
+        rngs = jax.random.split(step_rng, B)
+
+        def loss_fn(params):
+            totals, metrics = jax.vmap(per_image, in_axes=(None, 0, 0, 0, 0, 0))(
+                params, batch["image"], batch["im_info"], batch["gt_boxes"],
+                batch["gt_valid"], rngs)
+            return jnp.mean(totals), jax.tree.map(jnp.mean, metrics)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads), metrics
+
+    return train_step
+
+
+def create_train_state(model: RelationRCNN, cfg, rng: jax.Array,
+                       sample_image, sample_im_info,
+                       epoch_size: int = 1000) -> TrainState:
+    # Param shapes are independent of the ROI count; init with a small set that is
+    # still >= first_n so the learned-NMS trace is well-formed.
+    n_init = max(int(model.first_n) + 1, 8)
+    sample_rois_arr = jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (n_init, 1))
+    variables = model.init(rng, sample_image, sample_rois_arr, sample_im_info,
+                           n_init)
+    params = variables["params"]
+    mask = trainable_mask(params, cfg.network.FIXED_PARAMS)
+    tx = make_optimizer(cfg, epoch_size, mask)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params), rng=rng, tx=tx)
