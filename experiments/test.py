@@ -1,0 +1,89 @@
+"""Evaluation driver (reference surface: relation_rcnn/test.py:23-79).
+
+Usage:
+  python experiments/test.py --cfg experiments/cfgs/<name>.yaml
+      [--ckpt path] [--thresh 1e-3] [--softnms] [--naive-nms] [--first-n N]
+      [--ignore-cache] [--vis-dir DIR]
+
+Flags mutate TEST config like the reference CLI (test.py:31-53), then run
+pred_eval (detections cache + COCO mAP).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test Relation R-CNN (TPU)")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--thresh", type=float, default=1e-3)
+    p.add_argument("--softnms", action="store_true")
+    p.add_argument("--naive-nms", action="store_true",
+                   help="force greedy NMS (disable learned NMS)")
+    p.add_argument("--first-n", type=int, default=0)
+    p.add_argument("--test-set", default="")
+    p.add_argument("--ignore-cache", action="store_true")
+    p.add_argument("--dataset-path", default="",
+                   help="override cfg.dataset.dataset_path")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import numpy as np
+    from relation_tpu.config.defaults import load_config
+    from relation_tpu.core.trainer import build_model
+    from relation_tpu.core.checkpoint import load_params, restore_checkpoint
+    from relation_tpu.core.evaluator import pred_eval
+    from relation_tpu.data.coco import CocoDataset, filter_roidb
+    from relation_tpu.utils.logging import create_logger
+
+    cfg = load_config(args.cfg)
+    if args.softnms:
+        cfg.TEST.SOFTNMS = True
+    if args.naive_nms:
+        cfg.TEST.LEARN_NMS = False
+    if args.first_n:
+        cfg.TEST.FIRST_N = args.first_n
+    if args.test_set:
+        cfg.dataset.test_image_set = args.test_set
+    if args.dataset_path:
+        cfg.dataset.dataset_path = args.dataset_path
+
+    cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
+    logger, out_path = create_logger(cfg.output_path or "output", cfg_name,
+                                     cfg.dataset.test_image_set)
+
+    s = cfg.dataset.test_image_set
+    ann = os.path.join(cfg.dataset.dataset_path, "annotations",
+                       f"instances_{s}.json")
+    img_root = os.path.join(cfg.dataset.dataset_path, "images", s)
+    dataset = CocoDataset(ann, img_root)
+    roidb = dataset.roidb()
+
+    model = build_model(cfg)
+    import jax.numpy as jnp
+    n0 = max(int(cfg.TEST.FIRST_N) + 1, 8)
+    rois0 = jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (n0, 1))
+    bh, bw = sorted(tuple(b) for b in cfg.TPU.IMAGE_BUCKETS)[0]
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((bh, bw, 3)), rois0,
+                        jnp.asarray([float(bh), float(bw), 1.0]), n0)["params"]
+    if args.ckpt:
+        params = load_params(args.ckpt, params)
+        logger.info(f"loaded params: {args.ckpt}")
+
+    cache = os.path.join(out_path, "detections.pkl")
+    results, _ = pred_eval(model, params, cfg, dataset, roidb, logger,
+                           cache_path=cache, ignore_cache=args.ignore_cache)
+    print(results)
+
+
+if __name__ == "__main__":
+    main()

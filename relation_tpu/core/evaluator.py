@@ -1,0 +1,68 @@
+"""pred_eval equivalent: run the jitted predictor over a test set, cache
+detections, report timing splits, and compute COCO mAP.
+
+Mirrors core/tester.py:163-342: per-image loop with data/net/post timing telemetry,
+a detections cache (pickle), then dataset evaluation — except the entire per-image
+compute (backbone -> ... -> final padded detections) is one device call.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+
+import numpy as np
+
+from relation_tpu.core.predictor import make_predict_fn
+from relation_tpu.data.eval import CocoEvaluator
+
+
+def pred_eval(model, params, cfg, dataset, roidb, logger=None,
+              cache_path: str | None = None, ignore_cache: bool = False,
+              loader=None):
+    """Returns (results dict, dets_per_image). roidb entries need image/image_id."""
+    import jax.numpy as jnp
+    from relation_tpu.data.loader import TestLoader
+
+    log = logger.info if logger else print
+    if cache_path and os.path.exists(cache_path) and not ignore_cache:
+        with open(cache_path, "rb") as f:
+            dets_per_image = pickle.load(f)
+        log(f"loaded detections cache: {cache_path}")
+    else:
+        loader = loader or TestLoader(roidb, cfg)
+        predict_fns = {}
+        dets_per_image = {}
+        t_data = t_net = t_post = 0.0
+        t = time.time()
+        for i, (image_id, img, im_info) in enumerate(loader):
+            t_data += time.time() - t
+            t = time.time()
+            feat_hw = (img.shape[0] // int(cfg.network.RCNN_FEAT_STRIDE),
+                       img.shape[1] // int(cfg.network.RCNN_FEAT_STRIDE))
+            if feat_hw not in predict_fns:
+                predict_fns[feat_hw] = make_predict_fn(model, cfg, feat_hw)
+            out = predict_fns[feat_hw](params, jnp.asarray(img),
+                                       jnp.asarray(im_info))
+            dets = np.asarray(out["dets"])          # forces execution
+            t_net += time.time() - t
+            t = time.time()
+            dets_per_image[image_id] = dets[dets[:, 0] >= 0]
+            t_post += time.time() - t
+            if (i + 1) % 200 == 0:
+                n = i + 1
+                log(f"{n}/{len(loader)} data {t_data / n:.4f}s net {t_net / n:.4f}s "
+                    f"post {t_post / n:.4f}s")
+            t = time.time()
+        if cache_path:
+            os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+            with open(cache_path, "wb") as f:
+                pickle.dump(dets_per_image, f)
+
+    evaluator = CocoEvaluator(dataset)
+    for image_id, dets in dets_per_image.items():
+        evaluator.add_detections(image_id, dets)
+    results = evaluator.summarize()
+    log(" ".join(f"{k}={v:.4f}" for k, v in results.items()))
+    return results, dets_per_image

@@ -1,0 +1,199 @@
+"""COCO-style detection evaluation (bbox mAP), implemented from the metric's
+definition — pycocotools is not available in this environment, and the reference
+vendors it (lib/dataset/pycocotools/cocoeval.py) for exactly this purpose.
+
+Protocol implemented (matching the published COCOeval bbox semantics):
+- IoU thresholds 0.50:0.05:0.95; 101-point interpolated precision
+- area ranges all/small/medium/large on the annotation area field
+- maxDets=100 for AP; greedy score-ordered matching, non-ignored gts first;
+  a det may fall back to an ignored/crowd gt; crowd IoU = intersection/det-area
+- ignored dets (matched to ignored gt, or unmatched & out of area range) are
+  dropped from both TP and FP
+
+Outputs the standard 6 AP numbers (AP, AP50, AP75, APs, APm, APl) plus AR@100.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+IOU_THRS = np.round(np.arange(0.5, 1.0, 0.05), 2)
+REC_THRS = np.linspace(0.0, 1.0, 101)
+AREA_RNG = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+
+
+def _iou_matrix(dets_xywh: np.ndarray, gts_xywh: np.ndarray,
+                iscrowd: np.ndarray) -> np.ndarray:
+    """[D, G] IoU; for crowd gt, intersection / det area."""
+    D, G = len(dets_xywh), len(gts_xywh)
+    out = np.zeros((D, G))
+    if D == 0 or G == 0:
+        return out
+    dx1, dy1 = dets_xywh[:, 0], dets_xywh[:, 1]
+    dx2, dy2 = dx1 + dets_xywh[:, 2], dy1 + dets_xywh[:, 3]
+    gx1, gy1 = gts_xywh[:, 0], gts_xywh[:, 1]
+    gx2, gy2 = gx1 + gts_xywh[:, 2], gy1 + gts_xywh[:, 3]
+    d_area = dets_xywh[:, 2] * dets_xywh[:, 3]
+    g_area = gts_xywh[:, 2] * gts_xywh[:, 3]
+    iw = np.maximum(0, np.minimum(dx2[:, None], gx2[None]) -
+                    np.maximum(dx1[:, None], gx1[None]))
+    ih = np.maximum(0, np.minimum(dy2[:, None], gy2[None]) -
+                    np.maximum(dy1[:, None], gy1[None]))
+    inter = iw * ih
+    denom = np.where(iscrowd[None, :], d_area[:, None],
+                     d_area[:, None] + g_area[None, :] - inter)
+    return np.where(denom > 0, inter / np.maximum(denom, 1e-12), 0.0)
+
+
+def _match_image(det_boxes, det_scores, gt_boxes, gt_ignore, gt_crowd,
+                 det_areas, area_rng, max_det):
+    """Greedy COCO matching for one (image, class). Returns per-IoU-thr arrays
+    (det_matched [T, D], det_ignored [T, D]) plus gt count after area-ignore."""
+    order = np.argsort(-det_scores, kind="mergesort")[:max_det]
+    det_boxes = det_boxes[order]
+    det_areas = det_areas[order]
+    D = len(det_boxes)
+    # gts: non-ignored first (cocoeval sorts by _ignore)
+    gt_order = np.argsort(gt_ignore, kind="mergesort")
+    gt_boxes = gt_boxes[gt_order]
+    gt_ignore = gt_ignore[gt_order]
+    gt_crowd = gt_crowd[gt_order]
+    G = len(gt_boxes)
+    ious = _iou_matrix(det_boxes, gt_boxes, gt_crowd)
+
+    T = len(IOU_THRS)
+    matched = np.zeros((T, D), bool)
+    ignored = np.zeros((T, D), bool)
+    for ti, thr in enumerate(IOU_THRS):
+        gt_used = np.zeros(G, bool)
+        for d in range(D):
+            best_iou = min(thr, 1 - 1e-10)
+            best_g = -1
+            for g in range(G):
+                if gt_used[g] and not gt_crowd[g]:
+                    continue
+                # once we hit ignored gts, stop if we already have a real match
+                if best_g > -1 and not gt_ignore[best_g] and gt_ignore[g]:
+                    break
+                if ious[d, g] < best_iou:
+                    continue
+                best_iou = ious[d, g]
+                best_g = g
+            if best_g >= 0:
+                gt_used[best_g] = True
+                matched[ti, d] = True
+                ignored[ti, d] = gt_ignore[best_g]
+        out_of_area = (det_areas < area_rng[0]) | (det_areas > area_rng[1])
+        ignored[ti] |= (~matched[ti]) & out_of_area
+    num_gt = int((~gt_ignore).sum())
+    return order, matched, ignored, num_gt
+
+
+class CocoEvaluator:
+    """Accumulate detections and compute bbox AP against a CocoDataset."""
+
+    def __init__(self, dataset):
+        self.ds = dataset
+        # gt per (image, class): xywh boxes, area, iscrowd
+        self._gt = {}
+        for img_id in dataset.image_ids:
+            for ann in dataset._anns_by_image.get(img_id, []):
+                cls = dataset.cat_to_class[ann["category_id"]]
+                rec = self._gt.setdefault((img_id, cls), [])
+                rec.append((ann["bbox"], ann.get("area",
+                            ann["bbox"][2] * ann["bbox"][3]),
+                            bool(ann.get("iscrowd", 0))))
+        self.dets = {}       # (img_id, cls) -> list of (score, xywh)
+
+    def add_detections(self, image_id: int, dets: np.ndarray):
+        """dets: [N, 6] rows (class, score, x1, y1, x2, y2), original coords."""
+        for row in np.asarray(dets):
+            cls = int(row[0])
+            if cls < 1:
+                continue
+            x1, y1, x2, y2 = row[2:6]
+            xywh = (float(x1), float(y1), float(x2 - x1 + 1), float(y2 - y1 + 1))
+            self.dets.setdefault((image_id, cls), []).append((float(row[1]), xywh))
+
+    def summarize(self, max_det: int = 100) -> dict:
+        T = len(IOU_THRS)
+        R = len(REC_THRS)
+        classes = sorted(set(c for (_, c) in
+                             list(self._gt.keys()) + list(self.dets.keys())))
+        results = {}
+        prec_all = {k: np.full((T, R, len(classes)), np.nan) for k in AREA_RNG}
+        rec_all = {k: np.full((T, len(classes)), np.nan) for k in AREA_RNG}
+
+        for ci, cls in enumerate(classes):
+            per_area_scores = {k: [] for k in AREA_RNG}
+            per_area_matched = {k: [] for k in AREA_RNG}
+            per_area_ignored = {k: [] for k in AREA_RNG}
+            per_area_ngt = {k: 0 for k in AREA_RNG}
+            for img_id in self.ds.image_ids:
+                gts = self._gt.get((img_id, cls), [])
+                ds = self.dets.get((img_id, cls), [])
+                gt_boxes = np.asarray([g[0] for g in gts], float).reshape(-1, 4)
+                gt_area = np.asarray([g[1] for g in gts], float)
+                gt_crowd = np.asarray([g[2] for g in gts], bool)
+                det_scores = np.asarray([d[0] for d in ds], float)
+                det_boxes = np.asarray([d[1] for d in ds], float).reshape(-1, 4)
+                det_areas = det_boxes[:, 2] * det_boxes[:, 3]
+                for k, rng in AREA_RNG.items():
+                    gt_ignore = gt_crowd | (gt_area < rng[0]) | (gt_area > rng[1])
+                    order, matched, ignored, ngt = _match_image(
+                        det_boxes, det_scores, gt_boxes, gt_ignore, gt_crowd,
+                        det_areas, rng, max_det)
+                    per_area_scores[k].append(det_scores[order])
+                    per_area_matched[k].append(matched)
+                    per_area_ignored[k].append(ignored)
+                    per_area_ngt[k] += ngt
+
+            for k in AREA_RNG:
+                ngt = per_area_ngt[k]
+                if ngt == 0:
+                    continue
+                scores = np.concatenate(per_area_scores[k])
+                matched = np.concatenate(per_area_matched[k], axis=1)
+                ignored = np.concatenate(per_area_ignored[k], axis=1)
+                order = np.argsort(-scores, kind="mergesort")
+                matched = matched[:, order]
+                ignored = ignored[:, order]
+                for ti in range(T):
+                    keep = ~ignored[ti]
+                    tp = np.cumsum(matched[ti][keep])
+                    fp = np.cumsum(~matched[ti][keep])
+                    if len(tp) == 0:
+                        prec_all[k][ti, :, ci] = 0.0
+                        rec_all[k][ti, ci] = 0.0
+                        continue
+                    rc = tp / ngt
+                    pr = tp / np.maximum(tp + fp, 1e-12)
+                    # monotone-from-right interpolation
+                    pr = np.maximum.accumulate(pr[::-1])[::-1]
+                    idx = np.searchsorted(rc, REC_THRS, side="left")
+                    p = np.zeros(R)
+                    ok = idx < len(pr)
+                    p[ok] = pr[idx[ok]]
+                    prec_all[k][ti, :, ci] = p
+                    rec_all[k][ti, ci] = rc[-1]
+
+        def ap(area, thr=None):
+            p = prec_all[area]
+            if thr is not None:
+                p = p[IOU_THRS == thr]
+            return float(np.nanmean(p)) if not np.all(np.isnan(p)) else float("nan")
+
+        results["AP"] = ap("all")
+        results["AP50"] = ap("all", 0.5)
+        results["AP75"] = ap("all", 0.75)
+        results["APs"] = ap("small")
+        results["APm"] = ap("medium")
+        results["APl"] = ap("large")
+        results["AR100"] = (float(np.nanmean(rec_all["all"]))
+                            if not np.all(np.isnan(rec_all["all"])) else float("nan"))
+        return results

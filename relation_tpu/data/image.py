@@ -1,0 +1,102 @@
+"""Host-side image pipeline: load, resize, mean-subtract, flip, bucket-pad.
+
+Mirrors the reference semantics (lib/utils/image.py:18-196):
+- resize so the short side hits SCALES[0][0] without the long side exceeding
+  SCALES[0][1] (min(target/short, max/long) scaling)
+- pixels kept in BGR channel order, PIXEL_MEANS subtracted (the reference's
+  pixel means are BGR: yaml 103.06/115.90/123.15)
+- horizontal flip flips boxes with the +1 convention (x1' = W - x2 - 1)
+
+TPU-native addition: every image is zero-padded into a fixed (H, W) bucket so each
+bucket compiles exactly once; im_info carries the true (h, w, scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    from PIL import Image
+    _HAS_PIL = True
+except ImportError:          # pragma: no cover
+    _HAS_PIL = False
+
+
+def load_image_bgr(path: str) -> np.ndarray:
+    """Read an image file -> float32 [H, W, 3] BGR."""
+    if not _HAS_PIL:
+        raise RuntimeError("PIL unavailable")
+    with Image.open(path) as im:
+        rgb = np.asarray(im.convert("RGB"), dtype=np.float32)
+    return rgb[:, :, ::-1]
+
+
+def resize_im(im: np.ndarray, target_size: int, max_size: int):
+    """Scale so short side == target_size unless the long side would exceed
+    max_size (reference lib/utils/image.py resize)."""
+    h, w = im.shape[:2]
+    im_size_min = min(h, w)
+    im_size_max = max(h, w)
+    scale = float(target_size) / im_size_min
+    if round(scale * im_size_max) > max_size:
+        scale = float(max_size) / im_size_max
+    if _HAS_PIL:
+        out = np.asarray(Image.fromarray(im.astype(np.uint8)).resize(
+            (int(round(w * scale)), int(round(h * scale))), Image.BILINEAR),
+            dtype=np.float32)
+    else:                      # pragma: no cover
+        out = im
+    return out, scale
+
+
+def transform(im_bgr: np.ndarray, pixel_means) -> np.ndarray:
+    """Mean subtraction, stays HWC/BGR float32 (NHWC is the TPU layout; the
+    reference's CHW transpose is an MXNet artifact)."""
+    return im_bgr.astype(np.float32) - np.asarray(pixel_means, np.float32)
+
+
+def flip_boxes(boxes: np.ndarray, width: int) -> np.ndarray:
+    """Horizontal flip with the +1 convention (reference lib/dataset/imdb.py:236-239)."""
+    out = boxes.copy()
+    out[:, 0] = width - boxes[:, 2] - 1
+    out[:, 2] = width - boxes[:, 0] - 1
+    return out
+
+
+def pick_bucket(h: int, w: int, buckets) -> tuple[int, int]:
+    """Smallest (H, W) bucket that fits; falls back to the largest."""
+    for bh, bw in sorted(buckets):
+        if h <= bh and w <= bw:
+            return (bh, bw)
+    return tuple(sorted(buckets)[-1])
+
+
+def pad_to_bucket(im: np.ndarray, bucket: tuple[int, int]) -> np.ndarray:
+    bh, bw = bucket
+    h, w = im.shape[:2]
+    out = np.zeros((bh, bw) + im.shape[2:], dtype=im.dtype)
+    out[:h, :w] = im[:bh, :bw]
+    return out
+
+
+def prepare_image(im_bgr: np.ndarray, target_size: int, max_size: int,
+                  pixel_means, buckets, flip: bool = False,
+                  boxes: np.ndarray | None = None):
+    """Full path: (resize, optional flip, mean-sub, bucket-pad).
+    Returns (image [bH,bW,3], im_info [3], boxes scaled (and flipped))."""
+    if flip:
+        im_bgr = im_bgr[:, ::-1, :]
+    im, scale = resize_im(im_bgr, target_size, max_size)
+    h, w = im.shape[:2]
+    im = transform(im, pixel_means)
+    bucket = pick_bucket(h, w, buckets)
+    im = pad_to_bucket(im, bucket)
+    im_info = np.asarray([h, w, scale], np.float32)
+    out_boxes = None
+    if boxes is not None:
+        out_boxes = boxes.copy().astype(np.float32)
+        if flip:
+            out_boxes[:, :4] = flip_boxes(out_boxes[:, :4],
+                                          int(im_bgr.shape[1]))
+        out_boxes[:, :4] *= scale
+    return im, im_info, out_boxes

@@ -1,0 +1,174 @@
+"""Host-side batch loaders with threaded prefetching.
+
+Reference equivalents: AnchorLoader / TestLoader (core/loader.py:25-607) and
+PrefetchingIterV2's daemon-thread ring (lib/utils/PrefetchingIter.py:19-150).
+
+TPU-native differences:
+- anchor target assignment moved ON DEVICE (models/targets.anchor_targets inside the
+  train step), so the host loader only decodes, resizes, pads and stacks — the
+  reference's biggest host hot loop (assign_anchor + imread per batch, SURVEY §3.1)
+  is gone.
+- images land in fixed (H, W) buckets; gt boxes are padded to MAX_GT with a validity
+  mask. Batches group images of the same bucket (the static-shape analogue of
+  aspect-ratio grouping, loader.py:496-513, which exists to reduce padding waste).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from relation_tpu.data.image import load_image_bgr, prepare_image
+
+
+class TrainLoader:
+    """Yields dict(image [B,H,W,3], im_info [B,3], gt_boxes [B,G,5],
+    gt_valid [B,G]) batches, one bucket per batch."""
+
+    def __init__(self, roidb, cfg, batch_size: int, seed: int = 0,
+                 num_prefetch: int = 4, image_loader=load_image_bgr):
+        self.roidb = list(roidb)
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.rng = np.random.RandomState(seed)
+        self.buckets = [tuple(b) for b in cfg.TPU.IMAGE_BUCKETS]
+        self.max_gt = int(cfg.TPU.MAX_GT)
+        self.num_prefetch = num_prefetch
+        self.image_loader = image_loader
+        self._order = None
+
+    def __len__(self):
+        return len(self.roidb) // self.batch_size
+
+    def _shuffled_order(self):
+        idx = np.arange(len(self.roidb))
+        if self.cfg.TRAIN.ASPECT_GROUPING:
+            # group wide vs tall (reference loader.py:496-513) so same-bucket
+            # images batch together
+            aspect = np.asarray([e["width"] / e["height"] for e in self.roidb])
+            horz = idx[aspect >= 1]
+            vert = idx[aspect < 1]
+            self.rng.shuffle(horz)
+            self.rng.shuffle(vert)
+            idx = np.concatenate([horz, vert])
+            blocks = [idx[i:i + self.batch_size]
+                      for i in range(0, len(idx) - self.batch_size + 1,
+                                     self.batch_size)]
+            self.rng.shuffle(blocks)
+            return np.concatenate(blocks) if blocks else idx[:0]
+        if self.cfg.TRAIN.SHUFFLE:
+            self.rng.shuffle(idx)
+        return idx
+
+    def _load_one(self, entry):
+        im = self.image_loader(entry["image"])
+        flip = bool(entry.get("flipped", False))
+        boxes = entry["boxes"]
+        keep = ~entry["iscrowd"] if "iscrowd" in entry else np.ones(len(boxes), bool)
+        gt5 = np.concatenate([boxes[keep],
+                              entry["gt_classes"][keep, None].astype(np.float32)],
+                             axis=1) if len(boxes) else np.zeros((0, 5), np.float32)
+        target, max_size = self.cfg.SCALES[0]
+        img, im_info, gt_scaled = prepare_image(
+            im, target, max_size, self.cfg.network.PIXEL_MEANS, self.buckets,
+            flip=flip, boxes=gt5)
+        gt = np.zeros((self.max_gt, 5), np.float32)
+        gv = np.zeros((self.max_gt,), bool)
+        n = min(len(gt_scaled), self.max_gt) if gt_scaled is not None else 0
+        if n:
+            gt[:n] = gt_scaled[:n]
+            gv[:n] = True
+        return img, im_info, gt, gv
+
+    def _make_batch(self, indices):
+        ims, infos, gts, gvs = [], [], [], []
+        for i in indices:
+            img, info, gt, gv = self._load_one(self.roidb[i])
+            ims.append(img)
+            infos.append(info)
+            gts.append(gt)
+            gvs.append(gv)
+        # all images in a batch share the largest bucket among them
+        bh = max(im.shape[0] for im in ims)
+        bw = max(im.shape[1] for im in ims)
+        out = np.zeros((len(ims), bh, bw, 3), np.float32)
+        for b, im in enumerate(ims):
+            out[b, :im.shape[0], :im.shape[1]] = im
+        return {"image": out, "im_info": np.stack(infos),
+                "gt_boxes": np.stack(gts), "gt_valid": np.stack(gvs)}
+
+    def __iter__(self):
+        order = self._shuffled_order()
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, len(order) - self.batch_size + 1,
+                                  self.batch_size)]
+        if self.num_prefetch <= 0:
+            for b in batches:
+                yield self._make_batch(b)
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.num_prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for b in batches:
+                    q.put(self._make_batch(b))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+class TestLoader:
+    """Yields (image_id, image, im_info) one image at a time (TEST.BATCH_IMAGES=1,
+    reference core/loader.py:25-167)."""
+
+    __test__ = False          # not a pytest class
+
+    def __init__(self, roidb, cfg, num_prefetch: int = 2,
+                 image_loader=load_image_bgr):
+        self.roidb = list(roidb)
+        self.cfg = cfg
+        self.buckets = [tuple(b) for b in cfg.TPU.IMAGE_BUCKETS]
+        self.num_prefetch = num_prefetch
+        self.image_loader = image_loader
+
+    def __len__(self):
+        return len(self.roidb)
+
+    def _load_one(self, entry):
+        im = self.image_loader(entry["image"])
+        target, max_size = self.cfg.SCALES[0]
+        img, im_info, _ = prepare_image(im, target, max_size,
+                                        self.cfg.network.PIXEL_MEANS, self.buckets)
+        return entry.get("image_id", entry["image"]), img, im_info
+
+    def __iter__(self):
+        if self.num_prefetch <= 0:
+            for e in self.roidb:
+                yield self._load_one(e)
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.num_prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for e in self.roidb:
+                    q.put(self._load_one(e))
+            finally:
+                q.put(stop)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
