@@ -69,23 +69,41 @@ def make_predict_fn(model: RelationRCNN, cfg, feat_hw: tuple[int, int]):
     stds = tuple(cfg.TRAIN.BBOX_STDS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None
     means = tuple(cfg.TRAIN.BBOX_MEANS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None
 
+    from relation_tpu.models.fpn import (RelationRCNNFPN, fpn_anchors,
+                                         generate_proposals_fpn, FPN_STRIDES)
+    is_fpn = isinstance(model, RelationRCNNFPN)
+
     def predict(params, image, im_info):
-        feat, rpn_cls, rpn_bbox = model.apply(
-            {"params": params}, image, method=RelationRCNN.features_and_rpn)
-        anchors = shift_anchors(base_anchors, fh, fw, stride)
-        fg_prob = jax.nn.softmax(rpn_cls, axis=-1)[..., 1]
-        rois, roi_scores, roi_real = generate_proposals(
-            fg_prob, rpn_bbox, anchors, im_info, stride,
-            int(cfg.TEST.RPN_PRE_NMS_TOP_N), int(cfg.TEST.RPN_POST_NMS_TOP_N),
-            float(cfg.TEST.RPN_NMS_THRESH), float(cfg.TEST.RPN_MIN_SIZE))
+        if is_fpn:
+            feat, rpn_out = model.apply(
+                {"params": params}, image,
+                method=RelationRCNNFPN.features_and_rpn)
+            level_anchors = fpn_anchors(
+                {s: rpn_out[s][0].shape[:2] for s in FPN_STRIDES},
+                tuple(cfg.network.ANCHOR_SCALES),
+                tuple(cfg.network.ANCHOR_RATIOS))
+            rois, roi_scores, roi_real = generate_proposals_fpn(
+                rpn_out, level_anchors, im_info,
+                int(cfg.TEST.RPN_PRE_NMS_TOP_N), int(cfg.TEST.RPN_POST_NMS_TOP_N),
+                float(cfg.TEST.RPN_NMS_THRESH), float(cfg.TEST.RPN_MIN_SIZE))
+        else:
+            feat, rpn_cls, rpn_bbox = model.apply(
+                {"params": params}, image, method=RelationRCNN.features_and_rpn)
+            fh, fw = rpn_cls.shape[0], rpn_cls.shape[1]
+            anchors = shift_anchors(base_anchors, fh, fw, stride)
+            fg_prob = jax.nn.softmax(rpn_cls, axis=-1)[..., 1]
+            rois, roi_scores, roi_real = generate_proposals(
+                fg_prob, rpn_bbox, anchors, im_info, stride,
+                int(cfg.TEST.RPN_PRE_NMS_TOP_N), int(cfg.TEST.RPN_POST_NMS_TOP_N),
+                float(cfg.TEST.RPN_NMS_THRESH), float(cfg.TEST.RPN_MIN_SIZE))
 
         cls_score, bbox_deltas, fc2 = model.apply(
-            {"params": params}, feat, rois, nongt_dim, method=RelationRCNN.head)
+            {"params": params}, feat, rois, nongt_dim, method=type(model).head)
         out = {"rois": rois, "roi_scores": roi_scores}
 
         if learn_nms:
             ln = model.apply({"params": params}, cls_score, bbox_deltas, rois, fc2,
-                             im_info, method=RelationRCNN.learn_nms)
+                             im_info, method=type(model).learn_nms)
             final = merge_multi_score(ln["nms_multi_score"], merge_method)  # [F, C]
             boxes = ln["sorted_bbox"] / im_info[2]                          # [F, C, 4]
             F, C = final.shape

@@ -53,10 +53,11 @@ class TrainState(struct.PyTreeNode):
                             opt_state=new_opt)
 
 
-def build_model(cfg, tiny: bool = False) -> RelationRCNN:
-    """Instantiate the detector from a reference-schema config."""
+def build_model(cfg, tiny: bool = False):
+    """Instantiate the detector from a reference-schema config (the registry
+    replacing the reference's eval(config.symbol), train_end2end.py:65)."""
     threshes = np.fromstring(cfg.network.NMS_TARGET_THRESH, dtype=float, sep=",")
-    return RelationRCNN(
+    common = dict(
         num_classes=cfg.dataset.NUM_CLASSES,
         num_anchors=cfg.network.NUM_ANCHORS,
         class_agnostic=cfg.CLASS_AGNOSTIC,
@@ -66,10 +67,17 @@ def build_model(cfg, tiny: bool = False) -> RelationRCNN:
         num_thresh=len(threshes),
         bbox_means=tuple(cfg.TRAIN.BBOX_MEANS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None,
         bbox_stds=tuple(cfg.TRAIN.BBOX_STDS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None,
-        rcnn_feat_stride=int(cfg.network.RCNN_FEAT_STRIDE),
         backbone="tiny" if tiny else "resnet101",
         head_dim=64 if tiny else 1024,
         conv_dtype=jnp.float32 if tiny else jnp.bfloat16,
+    )
+    if "fpn" in cfg.symbol:
+        from relation_tpu.models.fpn import RelationRCNNFPN
+        return RelationRCNNFPN(**common)
+    return RelationRCNN(
+        dcn="dcn" in cfg.symbol,
+        rcnn_feat_stride=int(cfg.network.RCNN_FEAT_STRIDE),
+        **common,
     )
 
 
@@ -96,9 +104,17 @@ def make_optimizer(cfg, epoch_size: int, mask) -> optax.GradientTransformation:
     sched = warmup_multi_factor_schedule(
         base_lr, steps, float(cfg.TRAIN.lr_factor), bool(cfg.TRAIN.warmup),
         float(cfg.TRAIN.warmup_lr), int(cfg.TRAIN.warmup_step))
+    # per-param lr multipliers: the DCN head 'offset' FC trains at 0.01x
+    # (reference rcnn_dcn.py:866 lr_mult=0.01)
+    def lr_mult_mask(params):
+        from flax.traverse_util import flatten_dict, unflatten_dict
+        flat = flatten_dict(params)
+        return unflatten_dict({p: ("offset" in p) for p in flat})
+
     tx = optax.chain(
         optax.masked(optax.add_decayed_weights(float(cfg.TRAIN.wd)), mask),
         optax.sgd(learning_rate=sched, momentum=float(cfg.TRAIN.momentum)),
+        optax.masked(optax.scale(0.01), lr_mult_mask),
         optax.masked(optax.set_to_zero(), jax.tree.map(lambda t: not t, mask)),
     )
     return tx
@@ -124,11 +140,32 @@ def make_train_step(model: RelationRCNN, cfg, feat_hw: tuple[int, int],
     bbox_norm_denom = float(cfg.TRAIN.BATCH_ROIS_OHEM if ohem
                             else (300 if batch_rois < 0 else batch_rois))
 
+    from relation_tpu.models.fpn import (RelationRCNNFPN, fpn_anchors,
+                                         generate_proposals_fpn, FPN_STRIDES)
+    is_fpn = isinstance(model, RelationRCNNFPN)
+
     def per_image(params, image, im_info, gt_boxes, gt_valid, rng):
         r_anchor, r_sample = jax.random.split(rng)
-        feat, rpn_cls, rpn_bbox = model.apply(
-            {"params": params}, image, method=RelationRCNN.features_and_rpn)
-        anchors = shift_anchors(base_anchors, fh, fw, stride)
+        if is_fpn:
+            pyramid, rpn_out = model.apply(
+                {"params": params}, image,
+                method=RelationRCNNFPN.features_and_rpn)
+            feat = pyramid
+            # per-level grids concatenated in FPN_STRIDES order (the pyramid
+            # analogue of assign_pyramid_anchor, lib/rpn/rpn.py:246-330)
+            level_anchors = fpn_anchors(
+                {s: rpn_out[s][0].shape[:2] for s in FPN_STRIDES},
+                tuple(cfg.network.ANCHOR_SCALES), tuple(cfg.network.ANCHOR_RATIOS))
+            anchors = jnp.concatenate([level_anchors[s] for s in FPN_STRIDES])
+            rpn_cls = jnp.concatenate(
+                [rpn_out[s][0].reshape(-1, 2) for s in FPN_STRIDES])
+            rpn_bbox = jnp.concatenate(
+                [rpn_out[s][1].reshape(-1, 4) for s in FPN_STRIDES])
+        else:
+            feat, rpn_cls, rpn_bbox = model.apply(
+                {"params": params}, image, method=RelationRCNN.features_and_rpn)
+            fh, fw = rpn_cls.shape[0], rpn_cls.shape[1]
+            anchors = shift_anchors(base_anchors, fh, fw, stride)
 
         label, btgt, bwt = anchor_targets(
             anchors, gt_boxes, gt_valid, im_info, r_anchor,
@@ -144,12 +181,21 @@ def make_train_step(model: RelationRCNN, cfg, feat_hw: tuple[int, int],
             rpn_cls_flat, rpn_bbox_flat, label, btgt, bwt,
             int(cfg.TRAIN.RPN_BATCH_SIZE), sigma=float(cfg.TRAIN.rpn_loss_scale))
 
-        fg_prob = jax.nn.softmax(rpn_cls, axis=-1)[..., 1]
-        rois, _, _ = generate_proposals(
-            jax.lax.stop_gradient(fg_prob), jax.lax.stop_gradient(rpn_bbox),
-            anchors, im_info, stride,
-            int(cfg.TRAIN.RPN_PRE_NMS_TOP_N), int(cfg.TRAIN.RPN_POST_NMS_TOP_N),
-            float(cfg.TRAIN.RPN_NMS_THRESH), float(cfg.TRAIN.RPN_MIN_SIZE))
+        if is_fpn:
+            rois, _, _ = generate_proposals_fpn(
+                jax.tree.map(jax.lax.stop_gradient, rpn_out), level_anchors,
+                im_info, int(cfg.TRAIN.RPN_PRE_NMS_TOP_N),
+                int(cfg.TRAIN.RPN_POST_NMS_TOP_N),
+                float(cfg.TRAIN.RPN_NMS_THRESH), float(cfg.TRAIN.RPN_MIN_SIZE))
+        else:
+            fg_prob = jax.nn.softmax(rpn_cls, axis=-1)[..., 1]
+            rois, _, _ = generate_proposals(
+                jax.lax.stop_gradient(fg_prob.reshape(
+                    rpn_cls.shape[0], rpn_cls.shape[1], -1)),
+                jax.lax.stop_gradient(rpn_bbox),
+                anchors, im_info, stride,
+                int(cfg.TRAIN.RPN_PRE_NMS_TOP_N), int(cfg.TRAIN.RPN_POST_NMS_TOP_N),
+                float(cfg.TRAIN.RPN_NMS_THRESH), float(cfg.TRAIN.RPN_MIN_SIZE))
 
         tgt = sample_rois(
             rois, jnp.ones(rois.shape[0], bool), gt_boxes, gt_valid, r_sample,
@@ -165,7 +211,7 @@ def make_train_step(model: RelationRCNN, cfg, feat_hw: tuple[int, int],
 
         cls_score, bbox_pred, fc2 = model.apply(
             {"params": params}, feat, tgt["rois"], nongt_dim,
-            method=RelationRCNN.head)
+            method=type(model).head)
 
         rlabel, rweight = tgt["label"], tgt["bbox_weight"]
         if ohem:
@@ -188,7 +234,7 @@ def make_train_step(model: RelationRCNN, cfg, feat_hw: tuple[int, int],
             ln = model.apply(
                 {"params": params}, cls_score[:nongt_dim], bbox_pred[:nongt_dim],
                 tgt["rois"][:nongt_dim], fc2[:nongt_dim], im_info,
-                method=RelationRCNN.learn_nms)
+                method=type(model).learn_nms)
             nt = nms_multi_target(ln["sorted_bbox"], gt_boxes, gt_valid,
                                   jax.lax.stop_gradient(ln["sorted_score"]),
                                   threshes)

@@ -130,3 +130,66 @@ class ResNet101C5(nn.Module):
             x = Bottleneck(prefix=name, mid=512, out=2048, stride=1, dilation=2,
                            has_proj=(i == 0), dtype=self.dtype)(x)
         return x
+
+
+class DCNBottleneck(nn.Module):
+    """Bottleneck whose 3x3 is a deformable convolution with a learned offset
+    field (num_deformable_group=4, offsets init to zero).
+
+    Mirrors the DCN res5 units (reference resnet_v1_101_rcnn_dcn.py:690-755):
+    res5x_branch2b_offset = 3x3 conv (72ch = 4 groups * 2 * 9 taps, dilate 2)
+    res5x_branch2b        = DeformableConvolution(dilate 2, 4 groups).
+    """
+    prefix: str
+    mid: int
+    out: int
+    dilation: int = 2
+    deform_groups: int = 4
+    has_proj: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from relation_tpu.ops.deform import deformable_conv
+        p = self.prefix
+        if self.has_proj:
+            sc = _conv(f"res{p}_branch1", self.out, 1, 1, dtype=self.dtype)(x)
+            sc = FrozenBatchNorm(name=f"bn{p}_branch1")(sc)
+        else:
+            sc = x
+        y = _conv(f"res{p}_branch2a", self.mid, 1, 1, dtype=self.dtype)(x)
+        y = nn.relu(FrozenBatchNorm(name=f"bn{p}_branch2a")(y))
+
+        off_ch = self.deform_groups * 2 * 9
+        offset = nn.Conv(off_ch, (3, 3), padding=((2, 2), (2, 2)),
+                         kernel_dilation=(self.dilation, self.dilation),
+                         kernel_init=nn.initializers.zeros,
+                         dtype=jnp.float32, param_dtype=jnp.float32,
+                         name=f"res{p}_branch2b_offset")(y.astype(jnp.float32))
+        w = self.param(f"res{p}_branch2b_weight",
+                       nn.initializers.variance_scaling(2.0, "fan_out",
+                                                        "truncated_normal"),
+                       (3, 3, self.mid, self.mid))
+        batched = y.ndim == 4
+        yy = y[0] if batched else y
+        oo = offset[0] if batched else offset
+        d = deformable_conv(yy.astype(jnp.float32), oo, w, kernel=3,
+                            dilation=self.dilation,
+                            num_groups=self.deform_groups)
+        y = (d[None] if batched else d).astype(self.dtype)
+        y = nn.relu(FrozenBatchNorm(name=f"bn{p}_branch2b")(y))
+        y = _conv(f"res{p}_branch2c", self.out, 1, dtype=self.dtype)(y)
+        y = FrozenBatchNorm(name=f"bn{p}_branch2c")(y)
+        return nn.relu(sc + y)
+
+
+class ResNet101C5DCN(nn.Module):
+    """Deformable res5 (reference resnet_v1_101_rcnn_dcn.py:688-755)."""
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        for i, name in enumerate(_unit_names(5, 3)):
+            x = DCNBottleneck(prefix=name, mid=512, out=2048, dilation=2,
+                              has_proj=(i == 0), dtype=self.dtype)(x)
+        return x

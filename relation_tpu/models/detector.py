@@ -56,6 +56,7 @@ class RelationRCNN(nn.Module):
     bbox_means: tuple | None = None
     bbox_stds: tuple | None = None
     roi_method: str = "align"           # "align" (TPU default) | "pool" (exact ref)
+    dcn: bool = False                   # deformable res5 + deformable ROI pooling
     rcnn_feat_stride: int = 16
     conv_dtype: Any = jnp.bfloat16
     # tiny-model knobs for tests
@@ -65,7 +66,11 @@ class RelationRCNN(nn.Module):
     def setup(self):
         if self.backbone == "resnet101":
             self.c4 = ResNet101C4(dtype=self.conv_dtype)
-            self.c5 = ResNet101C5(dtype=self.conv_dtype)
+            if self.dcn:
+                from relation_tpu.models.backbone import ResNet101C5DCN
+                self.c5 = ResNet101C5DCN(dtype=self.conv_dtype)
+            else:
+                self.c5 = ResNet101C5(dtype=self.conv_dtype)
         else:
             # minimal stand-in trunk with the same contract (stride 16)
             self.c4 = _TinyTrunk(dtype=self.conv_dtype)
@@ -74,6 +79,11 @@ class RelationRCNN(nn.Module):
         self.conv_new_1 = nn.Conv(256, (1, 1), dtype=self.conv_dtype,
                                   param_dtype=jnp.float32, name="conv_new_1",
                                   kernel_init=_norm_init)
+        if self.dcn:
+            # DCN head offset branch (reference rcnn_dcn.py:864-867, lr_mult 0.01,
+            # zero init)
+            self.offset_fc = nn.Dense(7 * 7 * 2, name="offset",
+                                      kernel_init=nn.initializers.zeros)
         self.fc_new_1 = nn.Dense(self.head_dim, name="fc_new_1",
                                  kernel_init=_norm_init)
         self.fc_new_2 = nn.Dense(self.head_dim, name="fc_new_2",
@@ -107,7 +117,18 @@ class RelationRCNN(nn.Module):
         """ROI head. rois: [N, 4] (image coords). Returns
         (cls_score [N, num_classes], bbox_pred [N, 4*num_reg], fc_all_2_relu [N, D])."""
         scale = 1.0 / self.rcnn_feat_stride
-        if self.roi_method == "align":
+        if self.dcn:
+            # deformable PSROI head (reference rcnn_dcn.py:864-873): a no-trans
+            # pooled feature predicts per-bin offsets, which steer a second pool
+            from relation_tpu.ops.deform import deformable_psroi_pool
+            f32 = reduced_feat.astype(jnp.float32)
+            offset_t = deformable_psroi_pool(f32, rois, None, scale,
+                                             pooled_size=7, sample_per_part=4)
+            off = self.offset_fc(offset_t.reshape(rois.shape[0], -1))
+            off = off.reshape(-1, 2, 7, 7)
+            pooled = deformable_psroi_pool(f32, rois, off, scale, pooled_size=7,
+                                           sample_per_part=4, trans_std=0.1)
+        elif self.roi_method == "align":
             pooled = roi_align(reduced_feat, rois, scale, 7)
         else:
             pooled = roi_pool(reduced_feat, rois, scale, 7)

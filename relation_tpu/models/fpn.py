@@ -1,0 +1,265 @@
+"""FPN variants: multi-level backbone/neck, shared RPN over the pyramid, ROI level
+dispatch, FPN detection head (+relation, +learned NMS).
+
+Reference: symbols/resnet_v1_101_rcnn_fpn*.py —
+- neck: lateral 1x1 (256ch) on res2c/res3b3/res4b22/res5c, nearest x2 top-down
+  sums, 3x3 smooth convs, extra stride-64 level from ft32_1x1 (fpn.py:799-835)
+- RPN head weights shared across levels (init_weight_rpn has one set, :991-1001)
+- ROI dispatch: feat_id = clip(floor(2 + log2(sqrt(w*h)/224)), 0, 3) mapping ROIs
+  to strides (4, 8, 16, 32) (core/rcnn.py:55,156)
+- head: per-level 7x7 ROI pooling -> roi_pool_fc1/roi_pool_fc2 (1024) (fpn.py:879-894)
+
+TPU-native difference: instead of splitting ROIs into 4 ragged per-level streams
+(reference ROIDispatch, core/rcnn.py:114-223), every ROI is pooled at all 4 levels
+and the result selected by its feat_id — static shapes, one gather instead of four
+ragged pipelines (SURVEY §7.9).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from relation_tpu.models.backbone import ResNet101C4, Bottleneck, _unit_names
+from relation_tpu.models.rpn import RPNHead
+from relation_tpu.models.relation import RelationModule
+from relation_tpu.models.learn_nms import LearnNMSHead
+from relation_tpu.ops.anchors import generate_anchors, shift_anchors
+from relation_tpu.ops.boxes import bbox_pred, clip_boxes, filter_boxes_mask
+from relation_tpu.ops.embeddings import (extract_position_matrix,
+                                         extract_position_embedding)
+from relation_tpu.ops.nms import greedy_nms_topk
+from relation_tpu.ops.roi_pool import roi_align, roi_pool
+
+_norm_init = nn.initializers.normal(0.01)
+
+FPN_STRIDES = (64, 32, 16, 8, 4)          # P6..P2, reference output order
+DISPATCH_STRIDES = (4, 8, 16, 32)          # rois_0..rois_3
+
+
+class ResNet101C5Standard(nn.Module):
+    """res5 with stride 2, no dilation (the FPN trunk keeps the standard
+    downsampling so res5c sits at stride 32)."""
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        for i, name in enumerate(_unit_names(5, 3)):
+            x = Bottleneck(prefix=name, mid=512, out=2048,
+                           stride=2 if i == 0 else 1, dilation=1,
+                           has_proj=(i == 0), dtype=self.dtype)(x)
+        return x
+
+
+class FPNNeck(nn.Module):
+    """Lateral + top-down + smooth + extra ft64 level (fpn.py:799-835).
+    __call__({2,3,4,5}: feats) -> {stride: feat} for strides 64,32,16,8,4."""
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats):
+        def conv(name, k, s=1):
+            pad = (k - 1) // 2
+            return nn.Conv(256, (k, k), strides=(s, s),
+                           padding=((pad, pad), (pad, pad)), dtype=self.dtype,
+                           param_dtype=jnp.float32, kernel_init=_norm_init,
+                           name=name)
+
+        ft32 = conv("fpn_ft32_1x1", 1)(feats[5])
+        ft16 = conv("fpn_ft16_1x1", 1)(feats[4])
+        ft8 = conv("fpn_ft8_1x1", 1)(feats[3])
+        ft4 = conv("fpn_ft4_1x1", 1)(feats[2])
+
+        def up2(x):
+            # nearest x2 (mx.symbol.UpSampling sample_type='nearest')
+            b, h, w, c = x.shape
+            return jnp.broadcast_to(x[:, :, None, :, None, :],
+                                    (b, h, 2, w, 2, c)).reshape(b, 2 * h, 2 * w, c)
+
+        ft16p = up2(ft32) + ft16
+        ft8p = up2(ft16p) + ft8
+        ft4p = up2(ft8p) + ft4
+
+        out = {
+            64: conv("fpn_ft64_3x3", 3, 2)(ft32),
+            32: conv("fpn_ft32_3x3", 3)(ft32),
+            16: conv("fpn_ft16_3x3", 3)(ft16p),
+            8: conv("fpn_ft8_3x3", 3)(ft8p),
+            4: conv("fpn_ft4_3x3", 3)(ft4p),
+        }
+        return out
+
+
+def roi_level_dispatch(rois: jnp.ndarray) -> jnp.ndarray:
+    """feat_id in {0,1,2,3} -> strides (4, 8, 16, 32).
+    Mirrors core/rcnn.py:55: clip(floor(2 + log2(sqrt(w*h)/224)), 0, 3)."""
+    w = rois[:, 2] - rois[:, 0] + 1.0
+    h = rois[:, 3] - rois[:, 1] + 1.0
+    s = jnp.sqrt(jnp.maximum(w * h, 1e-6))
+    fid = jnp.floor(2.0 + jnp.log2(s / 224.0))
+    return jnp.clip(fid, 0, 3).astype(jnp.int32)
+
+
+class RelationRCNNFPN(nn.Module):
+    """FPN detector with optional relation modules and learned NMS."""
+    num_classes: int = 81
+    num_anchors: int = 12
+    class_agnostic: bool = True
+    use_relation: bool = True
+    use_learn_nms: bool = True
+    first_n: int = 100
+    num_thresh: int = 5
+    bbox_means: tuple | None = None
+    bbox_stds: tuple | None = None
+    roi_method: str = "align"
+    conv_dtype: Any = jnp.bfloat16
+    backbone: str = "resnet101"
+    head_dim: int = 1024
+
+    def setup(self):
+        if self.backbone == "resnet101":
+            self.c4 = ResNet101C4(dtype=self.conv_dtype, out_stages=(2, 3, 4))
+            self.c5 = ResNet101C5Standard(dtype=self.conv_dtype)
+        else:
+            self.c4 = _TinyPyramid(dtype=self.conv_dtype)
+            self.c5 = lambda x: nn.max_pool(x, (2, 2), strides=(2, 2))
+        self.neck = FPNNeck(dtype=self.conv_dtype)
+        self.rpn = RPNHead(num_anchors=self.num_anchors, dtype=self.conv_dtype)
+        self.roi_pool_fc1 = nn.Dense(self.head_dim, name="roi_pool_fc1",
+                                     kernel_init=_norm_init)
+        self.roi_pool_fc2 = nn.Dense(self.head_dim, name="roi_pool_fc2",
+                                     kernel_init=_norm_init)
+        if self.use_relation:
+            self.relation_1 = RelationModule(index=1, dim_qk=self.head_dim,
+                                             dim_out=self.head_dim)
+            self.relation_2 = RelationModule(index=2, dim_qk=self.head_dim,
+                                             dim_out=self.head_dim)
+        self.cls_score = nn.Dense(self.num_classes, name="cls_score",
+                                  kernel_init=_norm_init)
+        num_reg = 2 if self.class_agnostic else self.num_classes
+        self.bbox_pred = nn.Dense(4 * num_reg, name="bbox_pred",
+                                  kernel_init=_norm_init)
+        if self.use_learn_nms:
+            self.learn_nms_head = LearnNMSHead(
+                num_fg_classes=self.num_classes - 1, first_n=self.first_n,
+                num_thresh=self.num_thresh, class_agnostic=self.class_agnostic,
+                bbox_means=self.bbox_means, bbox_stds=self.bbox_stds)
+
+    def features_and_rpn(self, image):
+        """image [H, W, 3] -> ({stride: feat}, {stride: (rpn_cls, rpn_bbox)})."""
+        feats = self.c4(image[None])          # {2,3,4} multi-stage
+        feats[5] = self.c5(feats[4])
+        pyramid = self.neck(feats)
+        rpn_out = {s: self.rpn(pyramid[s]) for s in FPN_STRIDES}
+        return ({s: f[0] for s, f in pyramid.items()},
+                {s: (c[0], b[0]) for s, (c, b) in rpn_out.items()})
+
+    def head(self, pyramid, rois, nongt_dim: int):
+        """4-level pooled head with feat_id dispatch."""
+        fid = roi_level_dispatch(rois)
+        pooled_levels = []
+        for i, s in enumerate(DISPATCH_STRIDES):
+            f = pyramid[s]
+            if self.roi_method == "align":
+                p = roi_align(f, rois, 1.0 / s, 7)
+            else:
+                p = roi_pool(f, rois, 1.0 / s, 7)
+            pooled_levels.append(p)
+        stacked = jnp.stack(pooled_levels, axis=0)        # [4, N, 7, 7, C]
+        sel = jnp.take_along_axis(
+            stacked, fid[None, :, None, None, None], axis=0)[0]
+        flat = sel.reshape(sel.shape[0], -1).astype(jnp.float32)
+
+        if self.use_relation:
+            pos_mat = extract_position_matrix(rois, nongt_dim=nongt_dim)
+            pos_emb = extract_position_embedding(pos_mat, feat_dim=64)
+
+        x = self.roi_pool_fc1(flat)
+        if self.use_relation:
+            x = x + self.relation_1(x, pos_emb)
+        x = nn.relu(x)
+        x = self.roi_pool_fc2(x)
+        if self.use_relation:
+            x = x + self.relation_2(x, pos_emb)
+        fc2 = nn.relu(x)
+        return self.cls_score(fc2), self.bbox_pred(fc2), fc2
+
+    def learn_nms(self, cls_score, bbox_pred_arr, rois, roi_feat, im_info):
+        return self.learn_nms_head(cls_score, bbox_pred_arr, rois, roi_feat,
+                                   im_info)
+
+    def __call__(self, image, rois, im_info, nongt_dim: int):
+        pyramid, rpn_out = self.features_and_rpn(image)
+        cls_s, bbox_p, fc2 = self.head(pyramid, rois, nongt_dim)
+        out = {"cls_score": cls_s, "bbox_pred": bbox_p, "roi_feat": fc2,
+               "rpn": rpn_out}
+        if self.use_learn_nms:
+            out.update(self.learn_nms(cls_s[:nongt_dim], bbox_p[:nongt_dim],
+                                      rois[:nongt_dim], fc2[:nongt_dim], im_info))
+        return out
+
+
+class _TinyPyramid(nn.Module):
+    """Toy multi-stage trunk for tests: stages 2/3/4 at strides 4/8/16."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        outs = {}
+        for stage, reps in ((2, 2), (3, 1), (4, 1)):
+            for r in range(reps):
+                x = nn.relu(nn.Conv(16, (3, 3), strides=(2, 2), dtype=self.dtype,
+                                    param_dtype=jnp.float32,
+                                    name=f"t{stage}_{r}")(x))
+            outs[stage] = x
+        return outs
+
+
+def fpn_anchors(feat_shapes: dict, scales, ratios):
+    """Per-level anchor grids {stride: [K_s, 4]} (assign_pyramid_anchor
+    enumeration, lib/rpn/rpn.py:246-300: base_size = stride at each level)."""
+    out = {}
+    for stride, (fh, fw) in feat_shapes.items():
+        base = generate_anchors(stride, ratios, scales)
+        out[stride] = shift_anchors(base, fh, fw, stride)
+    return out
+
+
+def generate_proposals_fpn(rpn_out: dict, anchors: dict, im_info,
+                           pre_nms_top_n: int, post_nms_top_n: int,
+                           nms_thresh: float, min_size: float):
+    """Joint over-pyramid proposal generation: decode every level, merge, one
+    top-k + NMS (the static-shape analogue of the reference FPN proposal path).
+
+    rpn_out: {stride: (rpn_cls [h,w,A,2], rpn_bbox [h,w,A,4])}.
+    Returns (rois [post_N, 4], scores [post_N], real [post_N]).
+    """
+    all_scores, all_boxes, all_ok = [], [], []
+    for stride, (cls, bbox) in rpn_out.items():
+        H, W, A, _ = cls.shape
+        fg = jax.nn.softmax(cls, axis=-1)[..., 1].reshape(-1)
+        deltas = bbox.reshape(-1, 4)
+        props = bbox_pred(anchors[stride], deltas)
+        props = clip_boxes(props, (im_info[0], im_info[1]))
+        valid_h = jnp.floor(im_info[0] / stride).astype(jnp.int32)
+        valid_w = jnp.floor(im_info[1] / stride).astype(jnp.int32)
+        cell_ok = ((jnp.arange(H)[:, None] < valid_h) &
+                   (jnp.arange(W)[None, :] < valid_w))
+        cell_ok = jnp.broadcast_to(cell_ok[:, :, None], (H, W, A)).reshape(-1)
+        ok = cell_ok & filter_boxes_mask(props, min_size * im_info[2])
+        all_scores.append(jnp.where(ok, fg, -1e10))
+        all_boxes.append(props)
+        all_ok.append(ok)
+    scores = jnp.concatenate(all_scores)
+    boxes = jnp.concatenate(all_boxes, axis=0)
+
+    k = min(pre_nms_top_n, scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    top_boxes = boxes[top_idx]
+    top_valid = top_scores > -1e9
+    keep_idx, real = greedy_nms_topk(top_boxes, top_scores, nms_thresh,
+                                     post_nms_top_n, valid=top_valid)
+    return top_boxes[keep_idx], top_scores[keep_idx], real

@@ -1,0 +1,218 @@
+"""Deformable ops: deformable convolution and (deformable) PSROI pooling.
+
+TPU-native equivalents of the reference's CUDA kernels:
+- deformable_im2col bilinear-gather + GEMM   (operator_cxx/nn/deformable_im2col.cuh:216)
+- DeformablePSROIPoolForwardKernel           (operator_cxx/deformable_psroi_pooling.cu:52-145)
+- PSROIPoolForwardKernel                     (operator_cxx/psroi_pooling.cu:82-99)
+
+Design: the sampling grid is data-dependent but the *shape* is static, so each op is
+a fixed set of bilinear gathers (XLA lowers to coalesced HBM gathers) followed by an
+MXU contraction. Autodiff gives the col2im/backward kernels for free (gather's
+transpose is scatter-add, exactly what deformable_col2im does).
+
+Semantics notes kept bit-faithful to the CUDA:
+- deformable conv samples with ZERO padding outside the map (im2col guard
+  `h_im > -1 && h_im < height`, bilinear with zero extension)
+- deformable PSROI pooling rounds ROI coords, shifts by -0.5, skips samples
+  outside (-0.5, dim-0.5) and divides by the count of in-range samples
+- offset channel layout: [group, 2*(kh*kw)] with (dy, dx) interleaved per tap
+  (deformable_im2col.cuh data_offset_ptr indexing)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_zero_pad(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
+    """Bilinear sample of feat [H, W, C] at float (y, x) with zero outside.
+    y, x: [...]; returns [..., C]. Matches im2col_bilinear + the -1 < coord < dim
+    guard of deformable_im2col.cuh."""
+    H, W, C = feat.shape
+    inside = (y > -1.0) & (y < H) & (x > -1.0) & (x < W)
+    y = jnp.where(inside, y, 0.0)
+    x = jnp.where(inside, x, 0.0)
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    flat = feat.reshape(H * W, C)
+
+    def corner(yy, xx):
+        ok = (yy >= 0) & (yy <= H - 1) & (xx >= 0) & (xx <= W - 1)
+        yi = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
+        xi = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
+        v = flat[(yi * W + xi).reshape(-1)].reshape(yy.shape + (C,))
+        return v * ok[..., None]
+
+    ly = y - y0
+    lx = x - x0
+    v00 = corner(y0, x0)
+    v01 = corner(y0, x0 + 1)
+    v10 = corner(y0 + 1, x0)
+    v11 = corner(y0 + 1, x0 + 1)
+    out = (v00 * ((1 - ly) * (1 - lx))[..., None]
+           + v01 * ((1 - ly) * lx)[..., None]
+           + v10 * (ly * (1 - lx))[..., None]
+           + v11 * (ly * lx)[..., None])
+    return out * inside[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "stride", "dilation",
+                                             "pad", "num_groups"))
+def deformable_conv(x: jnp.ndarray, offset: jnp.ndarray, weights: jnp.ndarray,
+                    kernel: int = 3, stride: int = 1, dilation: int = 1,
+                    pad: int | None = None, num_groups: int = 4) -> jnp.ndarray:
+    """Deformable convolution, one image.
+
+    x: [H, W, C]; offset: [Ho, Wo, num_groups * 2 * k * k] with per-group
+    (dy, dx) per tap (MXNet layout); weights: [k, k, C, Cout].
+    Returns [Ho, Wo, Cout]. Mirrors DeformableConvolutionOp::Forward
+    (deformable_convolution-inl.h:78-130) = deformable_im2col + GEMM.
+    """
+    H, W, C = x.shape
+    k = kernel
+    if pad is None:
+        pad = ((k - 1) // 2) * dilation
+    Ho, Wo = offset.shape[0], offset.shape[1]
+    assert C % num_groups == 0
+    cg = C // num_groups
+
+    base_y = (jnp.arange(Ho, dtype=jnp.float32) * stride - pad)[:, None]  # [Ho,1]
+    base_x = (jnp.arange(Wo, dtype=jnp.float32) * stride - pad)[None, :]  # [1,Wo]
+    off = offset.reshape(Ho, Wo, num_groups, k * k, 2)
+
+    cols = []
+    for i in range(k):
+        for j in range(k):
+            tap = i * k + j
+            parts = []
+            for g in range(num_groups):
+                dy = off[:, :, g, tap, 0]
+                dx = off[:, :, g, tap, 1]
+                yy = base_y + i * dilation + dy
+                xx = base_x + j * dilation + dx
+                parts.append(_bilinear_zero_pad(
+                    x[:, :, g * cg:(g + 1) * cg], yy, xx))    # [Ho, Wo, cg]
+            cols.append(jnp.concatenate(parts, axis=-1))       # [Ho, Wo, C]
+    col = jnp.stack(cols, axis=2)                              # [Ho, Wo, k*k, C]
+    wmat = weights.reshape(k * k, C, -1)
+    return jnp.einsum("hwkc,kco->hwo", col, wmat,
+                      preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("pooled_size", "group_size",
+                                             "sample_per_part", "output_dim",
+                                             "part_size"))
+def deformable_psroi_pool(feat: jnp.ndarray, rois: jnp.ndarray,
+                          trans: jnp.ndarray | None, spatial_scale: float,
+                          pooled_size: int = 7, group_size: int = 1,
+                          sample_per_part: int = 4, trans_std: float = 0.1,
+                          output_dim: int | None = None,
+                          part_size: int | None = None) -> jnp.ndarray:
+    """(Deformable) position-sensitive ROI pooling, one image.
+
+    feat: [H, W, C]; rois: [R, 4]; trans: [R, 2, part, part] or None (no_trans,
+    i.e. plain PSROI-average pooling with the same rounding/sampling scheme).
+    Returns [R, P, P, output_dim].
+
+    Bit-faithful to DeformablePSROIPoolForwardKernel
+    (deformable_psroi_pooling.cu:52-145): rounded ROI coords, -0.5 shifts, 0.1
+    min size, per-bin trans offset scaled by trans_std * roi size, average over
+    in-range samples only (count normalization), position-sensitive channel
+    c = (ctop*G + gh)*G + gw.
+    """
+    H, W, C = feat.shape
+    P = pooled_size
+    G = group_size
+    S = sample_per_part
+    output_dim = output_dim or C // (G * G)
+    part_size = part_size or P
+    R = rois.shape[0]
+
+    start_w = jnp.round(rois[:, 0]) * spatial_scale - 0.5
+    start_h = jnp.round(rois[:, 1]) * spatial_scale - 0.5
+    end_w = (jnp.round(rois[:, 2]) + 1.0) * spatial_scale - 0.5
+    end_h = (jnp.round(rois[:, 3]) + 1.0) * spatial_scale - 0.5
+    roi_w = jnp.maximum(end_w - start_w, 0.1)
+    roi_h = jnp.maximum(end_h - start_h, 0.1)
+    bin_w = roi_w / P                                           # [R]
+    bin_h = roi_h / P
+    sub_w = bin_w / S
+    sub_h = bin_h / S
+
+    p = jnp.arange(P, dtype=jnp.float32)
+    if trans is None:
+        tx = jnp.zeros((R, P, P))
+        ty = jnp.zeros((R, P, P))
+    else:
+        # part_h = floor(ph/P*part), class_id=0 (single class group in the heads)
+        ph_part = jnp.floor(p / P * part_size).astype(jnp.int32)
+        t = trans[:, :, ph_part][:, :, :, ph_part]              # [R, 2, P, P]
+        tx = t[:, 0] * trans_std
+        ty = t[:, 1] * trans_std
+
+    # sample coords: [R, P(ph), P(pw), S(ih), S(iw)]
+    s = jnp.arange(S, dtype=jnp.float32)
+    wstart = (p[None, :] * bin_w[:, None])[:, None, :] + start_w[:, None, None] \
+        + tx * roi_w[:, None, None]                             # [R, P, P]
+    hstart = (p[None, :] * bin_h[:, None])[:, :, None] + start_h[:, None, None] \
+        + ty * roi_h[:, None, None]
+    xs = wstart[..., None, None] + (s[None, :] * sub_w[:, None])[:, None, None, None, :]
+    ys = hstart[..., None, None] + (s[None, :] * sub_h[:, None])[:, None, None, :, None]
+    full = (R, P, P, S, S)
+    xs = jnp.broadcast_to(xs, full)
+    ys = jnp.broadcast_to(ys, full)
+
+    ok = (xs > -0.5) & (xs < W - 0.5) & (ys > -0.5) & (ys < H - 0.5)
+    xc = jnp.clip(xs, 0.0, W - 1.0)
+    yc = jnp.clip(ys, 0.0, H - 1.0)
+
+    if G == 1:
+        vals = _bilinear_clamp_all(feat, yc, xc)                # [R,P,P,S,S,C]
+        vals = vals * ok[..., None]
+        cnt = jnp.sum(ok, axis=(3, 4)).astype(feat.dtype)       # [R,P,P]
+        summed = jnp.sum(vals, axis=(3, 4))                     # [R,P,P,C]
+        out = jnp.where(cnt[..., None] > 0, summed / jnp.maximum(cnt[..., None], 1),
+                        0.0)
+        return out[..., :output_dim]
+
+    # group_size > 1: position-sensitive channel selection per bin
+    fs = feat.reshape(H, W, output_dim, G, G)
+    outs = jnp.zeros((R, P, P, output_dim), feat.dtype)
+    for ph in range(P):
+        gh = min(max(int(ph * G / P), 0), G - 1)
+        for pw in range(P):
+            gw = min(max(int(pw * G / P), 0), G - 1)
+            sub = fs[:, :, :, gh, gw]                            # [H, W, outdim]
+            v = _bilinear_clamp_all(sub, yc[:, ph, pw], xc[:, ph, pw])  # [R,S,S,outdim]
+            o = ok[:, ph, pw]
+            cnt = jnp.sum(o, axis=(1, 2)).astype(feat.dtype)
+            summed = jnp.sum(v * o[..., None], axis=(1, 2))
+            outs = outs.at[:, ph, pw].set(
+                jnp.where(cnt[:, None] > 0, summed / jnp.maximum(cnt[:, None], 1),
+                          0.0))
+    return outs
+
+
+def _bilinear_clamp_all(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
+    """Bilinear sample with clamped coords (caller pre-masks validity).
+    feat: [H, W, C]; y, x: [...] -> [..., C]."""
+    H, W, C = feat.shape
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    y1 = jnp.minimum(y0 + 1, H - 1.0)
+    x1 = jnp.minimum(x0 + 1, W - 1.0)
+    ly = y - y0
+    lx = x - x0
+    flat = feat.reshape(H * W, C)
+
+    def take(yy, xx):
+        idx = (yy.astype(jnp.int32) * W + xx.astype(jnp.int32)).reshape(-1)
+        return flat[idx].reshape(yy.shape + (C,))
+
+    return (take(y0, x0) * ((1 - ly) * (1 - lx))[..., None]
+            + take(y0, x1) * ((1 - ly) * lx)[..., None]
+            + take(y1, x0) * (ly * (1 - lx))[..., None]
+            + take(y1, x1) * (ly * lx)[..., None])

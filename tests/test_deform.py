@@ -1,0 +1,139 @@
+"""Deformable op tests: zero-offset equivalence with standard convs, oracle checks,
+and the DCN detector path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from relation_tpu.ops.deform import deformable_conv, deformable_psroi_pool
+
+
+def test_deformable_conv_zero_offset_equals_conv(rng):
+    H, W, C, Co = 10, 12, 8, 6
+    x = rng.randn(H, W, C).astype(np.float32)
+    w = rng.randn(3, 3, C, Co).astype(np.float32) * 0.1
+    off = np.zeros((H, W, 4 * 2 * 9), np.float32)
+    got = np.asarray(deformable_conv(jnp.asarray(x), jnp.asarray(off),
+                                     jnp.asarray(w), dilation=2, num_groups=4))
+    want = jax.lax.conv_general_dilated(
+        jnp.asarray(x)[None], jnp.asarray(w), (1, 1), ((2, 2), (2, 2)),
+        rhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_deformable_conv_integer_offset_shifts(rng):
+    # offset (dy=0, dx=1) for all taps/groups == sampling input shifted left by 1
+    H, W, C = 8, 8, 4
+    x = rng.randn(H, W, C).astype(np.float32)
+    w = rng.randn(3, 3, C, C).astype(np.float32) * 0.1
+    off = np.zeros((H, W, 2 * 2 * 9), np.float32)
+    off[:, :, 1::2] = 1.0          # dx = 1 for every tap of both groups
+    got = np.asarray(deformable_conv(jnp.asarray(x), jnp.asarray(off),
+                                     jnp.asarray(w), dilation=1, num_groups=2))
+    x_shift = np.zeros_like(x)
+    x_shift[:, :-1] = x[:, 1:]
+    want = jax.lax.conv_general_dilated(
+        jnp.asarray(x_shift)[None], jnp.asarray(w), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
+    # interior columns must match exactly; border columns differ (zero pad vs shift)
+    np.testing.assert_allclose(got[:, 1:-2], np.asarray(want)[:, 1:-2],
+                               rtol=1e-4, atol=1e-4)
+
+
+def np_dpsroi_oracle(feat, rois, trans, scale, P=7, S=4, trans_std=0.1):
+    """Direct port of the CUDA kernel semantics for group_size=1."""
+    H, W, C = feat.shape
+    R = len(rois)
+    out = np.zeros((R, P, P, C), np.float32)
+    for n in range(R):
+        sw = round(rois[n, 0]) * scale - 0.5
+        sh = round(rois[n, 1]) * scale - 0.5
+        ew = (round(rois[n, 2]) + 1.0) * scale - 0.5
+        eh = (round(rois[n, 3]) + 1.0) * scale - 0.5
+        rw = max(ew - sw, 0.1)
+        rh = max(eh - sh, 0.1)
+        bw, bh = rw / P, rh / P
+        sbw, sbh = bw / S, bh / S
+        for ph in range(P):
+            for pw in range(P):
+                tx = trans[n, 0, ph, pw] * trans_std if trans is not None else 0.0
+                ty = trans[n, 1, ph, pw] * trans_std if trans is not None else 0.0
+                ws = pw * bw + sw + tx * rw
+                hs = ph * bh + sh + ty * rh
+                acc = np.zeros(C)
+                cnt = 0
+                for ih in range(S):
+                    for iw in range(S):
+                        w = ws + iw * sbw
+                        h = hs + ih * sbh
+                        if w < -0.5 or w > W - 0.5 or h < -0.5 or h > H - 0.5:
+                            continue
+                        w = min(max(w, 0.0), W - 1.0)
+                        h = min(max(h, 0.0), H - 1.0)
+                        h0, w0 = int(np.floor(h)), int(np.floor(w))
+                        h1, w1 = min(h0 + 1, H - 1), min(w0 + 1, W - 1)
+                        lh, lw = h - h0, w - w0
+                        v = (feat[h0, w0] * (1 - lh) * (1 - lw)
+                             + feat[h0, w1] * (1 - lh) * lw
+                             + feat[h1, w0] * lh * (1 - lw)
+                             + feat[h1, w1] * lh * lw)
+                        acc += v
+                        cnt += 1
+                out[n, ph, pw] = acc / cnt if cnt else 0.0
+    return out
+
+
+def test_deformable_psroi_matches_oracle(rng):
+    H, W, C, R = 12, 16, 5, 6
+    feat = rng.randn(H, W, C).astype(np.float32)
+    x1 = rng.uniform(0, 150, R)
+    y1 = rng.uniform(0, 100, R)
+    rois = np.stack([x1, y1, x1 + rng.uniform(20, 90, R),
+                     y1 + rng.uniform(20, 70, R)], 1).astype(np.float32)
+    trans = (rng.randn(R, 2, 7, 7) * 0.5).astype(np.float32)
+    scale = 1.0 / 16
+
+    got0 = np.asarray(deformable_psroi_pool(jnp.asarray(feat), jnp.asarray(rois),
+                                            None, scale))
+    want0 = np_dpsroi_oracle(feat, rois, None, scale)
+    np.testing.assert_allclose(got0, want0, rtol=1e-4, atol=1e-4)
+
+    got = np.asarray(deformable_psroi_pool(jnp.asarray(feat), jnp.asarray(rois),
+                                           jnp.asarray(trans), scale))
+    want = np_dpsroi_oracle(feat, rois, trans, scale)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert np.abs(got - got0).max() > 1e-4   # trans actually moved samples
+
+
+def test_psroi_group_channels(rng):
+    # group_size=3, output_dim=2: channel (ctop*3+gh)*3+gw feeds bin (ph,pw)
+    H, W = 9, 9
+    G, outdim, P = 3, 2, 3
+    feat = np.zeros((H, W, outdim * G * G), np.float32)
+    for c in range(outdim * G * G):
+        feat[:, :, c] = c   # constant planes -> output identifies channel choice
+    rois = np.asarray([[0, 0, 143, 143]], np.float32)   # covers whole 9x9 map
+    got = np.asarray(deformable_psroi_pool(
+        jnp.asarray(feat), jnp.asarray(rois), None, 1.0 / 16, pooled_size=P,
+        group_size=G, sample_per_part=2, output_dim=outdim))
+    for ph in range(P):
+        for pw in range(P):
+            gh = min(max(int(ph * G / P), 0), G - 1)
+            gw = min(max(int(pw * G / P), 0), G - 1)
+            for ctop in range(outdim):
+                assert got[0, ph, pw, ctop] == (ctop * G + gh) * G + gw
+
+
+def test_dcn_detector_forward(rng):
+    from relation_tpu.models.detector import RelationRCNN
+    model = RelationRCNN(num_classes=5, num_anchors=3, backbone="tiny",
+                         head_dim=32, use_relation=False, use_learn_nms=False,
+                         dcn=True, conv_dtype=jnp.float32)
+    img = jnp.asarray(rng.randn(64, 64, 3).astype(np.float32))
+    rois = jnp.asarray(np.stack([np.zeros(6), np.zeros(6), np.full(6, 20.0),
+                                 np.full(6, 20.0)], 1).astype(np.float32))
+    im_info = jnp.asarray([64.0, 64.0, 1.0])
+    params = model.init(jax.random.PRNGKey(0), img, rois, im_info, 6)
+    out = model.apply(params, img, rois, im_info, 6)
+    assert out["cls_score"].shape == (6, 5)
+    assert "offset" in params["params"]
