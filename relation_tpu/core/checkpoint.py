@@ -71,6 +71,28 @@ def load_params(path: str, template):
     return serialization.from_state_dict(template, restored)
 
 
+def check_parameter_shapes(loaded, template) -> None:
+    """Validate every loaded leaf against the model's expected shapes.
+
+    Equivalent of Symbol.check_parameter_shapes (reference lib/utils/symbol.py:38-56),
+    which raises on any mismatch before binding.
+    """
+    from flax.traverse_util import flatten_dict
+    got = flatten_dict(loaded)
+    want = flatten_dict(template)
+    missing = set(want) - set(got)
+    extra = set(got) - set(want)
+    if missing:
+        raise ValueError(f"missing params: {sorted('/'.join(p) for p in missing)}")
+    if extra:
+        raise ValueError(f"unexpected params: {sorted('/'.join(p) for p in extra)}")
+    for path, v in want.items():
+        if tuple(np.shape(got[path])) != tuple(np.shape(v)):
+            raise ValueError(
+                f"shape mismatch for {'/'.join(path)}: loaded "
+                f"{np.shape(got[path])} vs expected {np.shape(v)}")
+
+
 def fold_bbox_normalization(params, means, stds):
     """Bake BBOX_MEANS/STDS into the bbox_pred layer (reference callback.py:54-61).
 
