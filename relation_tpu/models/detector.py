@@ -30,9 +30,8 @@ from relation_tpu.models.backbone import ResNet101C4, ResNet101C5
 from relation_tpu.models.rpn import RPNHead
 from relation_tpu.models.relation import RelationModule
 from relation_tpu.models.learn_nms import LearnNMSHead
-from relation_tpu.ops.embeddings import (extract_position_matrix,
-                                         extract_position_embedding)
-from relation_tpu.ops.roi_pool import roi_align, roi_pool
+from relation_tpu.ops.embeddings import extract_position_matrix_t
+from relation_tpu.ops.roi_pool import roi_align_mxu, roi_pool
 
 _norm_init = nn.initializers.normal(0.01)
 
@@ -129,22 +128,21 @@ class RelationRCNN(nn.Module):
             pooled = deformable_psroi_pool(f32, rois, off, scale, pooled_size=7,
                                            sample_per_part=4, trans_std=0.1)
         elif self.roi_method == "align":
-            pooled = roi_align(reduced_feat, rois, scale, 7)
+            pooled = roi_align_mxu(reduced_feat, rois, scale, 7)
         else:
             pooled = roi_pool(reduced_feat, rois, scale, 7)
         flat = pooled.reshape(pooled.shape[0], -1).astype(jnp.float32)
 
         if self.use_relation:
-            pos_mat = extract_position_matrix(rois, nongt_dim=nongt_dim)
-            pos_emb = extract_position_embedding(pos_mat, feat_dim=64)
+            pos_t = extract_position_matrix_t(rois, nongt_dim=nongt_dim)
 
         x = self.fc_new_1(flat)
         if self.use_relation:
-            x = x + self.relation_1(x, pos_emb)
+            x = x + self.relation_1(x, pos_t)
         x = nn.relu(x)
         x = self.fc_new_2(x)
         if self.use_relation:
-            x = x + self.relation_2(x, pos_emb)
+            x = x + self.relation_2(x, pos_t)
         fc_all_2_relu = nn.relu(x)
 
         return (self.cls_score(fc_all_2_relu), self.bbox_pred(fc_all_2_relu),

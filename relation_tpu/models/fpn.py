@@ -29,10 +29,9 @@ from relation_tpu.models.relation import RelationModule
 from relation_tpu.models.learn_nms import LearnNMSHead
 from relation_tpu.ops.anchors import generate_anchors, shift_anchors
 from relation_tpu.ops.boxes import bbox_pred, clip_boxes, filter_boxes_mask
-from relation_tpu.ops.embeddings import (extract_position_matrix,
-                                         extract_position_embedding)
+from relation_tpu.ops.embeddings import extract_position_matrix_t
 from relation_tpu.ops.nms import greedy_nms_topk
-from relation_tpu.ops.roi_pool import roi_align, roi_pool
+from relation_tpu.ops.roi_pool import roi_align_mxu, roi_pool
 
 _norm_init = nn.initializers.normal(0.01)
 
@@ -164,7 +163,7 @@ class RelationRCNNFPN(nn.Module):
         for i, s in enumerate(DISPATCH_STRIDES):
             f = pyramid[s]
             if self.roi_method == "align":
-                p = roi_align(f, rois, 1.0 / s, 7)
+                p = roi_align_mxu(f, rois, 1.0 / s, 7)
             else:
                 p = roi_pool(f, rois, 1.0 / s, 7)
             pooled_levels.append(p)
@@ -174,16 +173,15 @@ class RelationRCNNFPN(nn.Module):
         flat = sel.reshape(sel.shape[0], -1).astype(jnp.float32)
 
         if self.use_relation:
-            pos_mat = extract_position_matrix(rois, nongt_dim=nongt_dim)
-            pos_emb = extract_position_embedding(pos_mat, feat_dim=64)
+            pos_t = extract_position_matrix_t(rois, nongt_dim=nongt_dim)
 
         x = self.roi_pool_fc1(flat)
         if self.use_relation:
-            x = x + self.relation_1(x, pos_emb)
+            x = x + self.relation_1(x, pos_t)
         x = nn.relu(x)
         x = self.roi_pool_fc2(x)
         if self.use_relation:
-            x = x + self.relation_2(x, pos_emb)
+            x = x + self.relation_2(x, pos_t)
         fc2 = nn.relu(x)
         return self.cls_score(fc2), self.bbox_pred(fc2), fc2
 

@@ -29,8 +29,7 @@ import flax.linen as nn
 
 from relation_tpu.ops.boxes import refine_bbox
 from relation_tpu.ops.embeddings import (extract_rank_embedding,
-                                         extract_multi_position_matrix,
-                                         extract_pairwise_multi_position_embedding)
+                                         extract_multi_position_matrix_t)
 from relation_tpu.models.relation import NMSRelationModule
 
 _norm_init = nn.initializers.normal(0.01)
@@ -91,10 +90,9 @@ class LearnNMSHead(nn.Module):
         rank_feat = nn.Dense(128, name="nms_rank", dtype=self.dtype,
                              kernel_init=_norm_init)(rank_emb)    # [F, 128]
 
-        # per-class pairwise geometry (reference :467)
-        nms_position_matrix = extract_multi_position_matrix(sorted_bbox)  # [C,F,F,4]
-        nms_position_embedding = extract_pairwise_multi_position_embedding(
-            nms_position_matrix, 64)
+        # per-class pairwise geometry (reference :467), field-major for the
+        # fused Pallas geometric-bias kernel
+        nms_position_matrix_t = extract_multi_position_matrix_t(sorted_bbox)
 
         # roi feature embedding -> 128, gathered in rank order (reference :469-474)
         roi_emb = nn.Dense(128, name="roi_feat_embedding", dtype=self.dtype,
@@ -105,7 +103,7 @@ class LearnNMSHead(nn.Module):
 
         attention, _ = NMSRelationModule(index=1, groups=16, dim_qk=1024,
                                          dim_out=128, dtype=self.dtype)(
-            nms_embedding_feat, nms_position_embedding)
+            nms_embedding_feat, nms_position_matrix_t)
         feat = nn.relu(nms_embedding_feat + attention)            # [F, C, 128]
 
         logit = nn.Dense(self.num_thresh, name="nms_logit", dtype=self.dtype,

@@ -5,17 +5,20 @@ Mirrors ``attention_module_multi_head``
 (reference: relation_rcnn/symbols/resnet_v1_101_rcnn_attention_1024_pairwise_position_multi_head_16_learn_nms.py:90-156):
 
   aff      = (Q K^T) / sqrt(d_head)                    # appearance affinity
-  w_g      = relu(FC(position_embedding))              # geometric weight, [N, K, heads]
+  w_g      = relu(FC(position_embedding))              # geometric weight
   weighted = log(max(w_g, 1e-6)) + aff                 # fused as an additive bias
   attn     = softmax(weighted, axis=keys)
   out      = grouped_linear(attn @ V),   V = raw key features (no value projection)
 
+The geometric branch (sinusoid embedding -> FC -> relu -> log) is computed by one
+fused Pallas kernel (ops/pallas/geom_bias.py) directly from the pairwise geometry
+matrix — the sin/cos expansion (the measured hot spot of the learned-NMS head) never
+materializes. The kernel's parameters live under the same names/shapes as the
+reference's pair_pos_fc1 dense, so checkpoints are unaffected.
+
 The grouped 1x1 conv of the reference (linear_out_*, num_group=16) is an einsum over
 a [heads, feat, out/heads] weight — head-major output channel layout matches the
 reference's grouped-conv layout exactly, so converted weights drop in.
-
-Parameter names (query_{i}, key_{i}, pair_pos_fc1_{i}, linear_out_{i}) match the
-reference arg names for checkpoint conversion.
 """
 
 from __future__ import annotations
@@ -25,14 +28,37 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
+from relation_tpu.ops.pallas.geom_bias import (fused_geometric_bias,
+                                               geom_bias_reference)
+
 _norm_init = nn.initializers.normal(0.01)
+
+
+class GeomBiasDense(nn.Module):
+    """The pair_pos_fc1 dense as a fused geometric-bias op.
+
+    Parameters (kernel [64, features], bias [features]) are identical in path and
+    layout to an ``nn.Dense`` over the 64-d sinusoid embedding, but the forward
+    computes log(max(emb @ W + b, 1e-6)) straight from the geometry matrix.
+    """
+    features: int
+    fused: bool = True
+
+    @nn.compact
+    def __call__(self, pos_t: jnp.ndarray) -> jnp.ndarray:
+        """pos_t: [C, 4, N, M] -> [C, features, N, M]."""
+        k = self.param("kernel", _norm_init, (64, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.fused:
+            return fused_geometric_bias(pos_t, k, b)
+        return geom_bias_reference(pos_t, k, b)
 
 
 class RelationModule(nn.Module):
     """One relation attention block for the detection head.
 
-    __call__(roi_feat [N, feat_dim], position_embedding [N, K, emb_dim]) -> [N, dim_out]
-    where the keys/values are the first ``nongt_dim`` (= K) rows of roi_feat.
+    __call__(roi_feat [N, feat_dim], position_mat_t [4, N, K]) -> [N, dim_out]
+    where the keys/values are the first K (= nongt_dim) rows of roi_feat.
     """
     index: int = 1
     groups: int = 16
@@ -41,19 +67,18 @@ class RelationModule(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, roi_feat: jnp.ndarray, position_embedding: jnp.ndarray):
+    def __call__(self, roi_feat: jnp.ndarray, position_mat_t: jnp.ndarray):
         n = roi_feat.shape[0]
-        k = position_embedding.shape[1]          # nongt_dim
+        k = position_mat_t.shape[2]              # nongt_dim
         g = self.groups
         dqk = self.dim_qk // g
 
         nongt_feat = roi_feat[:k]                # keys/values: non-gt proposals only
 
-        # geometric bias: [N, K, emb] -> [N, K, g]
-        wg = nn.Dense(g, name=f"pair_pos_fc1_{self.index}", dtype=self.dtype,
-                      kernel_init=_norm_init)(position_embedding)
-        wg = nn.relu(wg)
-        bias = jnp.log(jnp.maximum(wg, 1e-6))    # [N, K, g]
+        # geometric bias: [4, N, K] -> [1, g, N, K] -> [N, g, K]
+        bias = GeomBiasDense(self.groups, name=f"pair_pos_fc1_{self.index}")(
+            position_mat_t[None])[0]
+        bias = jnp.transpose(bias, (1, 0, 2))    # [N, g, K]
 
         q = nn.Dense(self.dim_qk, name=f"query_{self.index}", dtype=self.dtype,
                      kernel_init=_norm_init)(roi_feat)
@@ -63,8 +88,7 @@ class RelationModule(nn.Module):
         kk = kk.reshape(k, g, dqk)
 
         aff = jnp.einsum("ngd,kgd->ngk", q, kk) / jnp.sqrt(float(dqk))
-        weighted = aff + jnp.transpose(bias, (0, 2, 1))          # [N, g, K]
-        attn = nn.softmax(weighted, axis=-1)
+        attn = nn.softmax(aff + bias, axis=-1)
 
         v = nongt_feat                                            # [K, feat]
         out = jnp.einsum("ngk,kf->ngf", attn, v)                  # [N, g, feat]
@@ -85,8 +109,8 @@ class NMSRelationModule(nn.Module):
     Mirrors ``attention_module_nms_multi_head`` (reference ...learn_nms.py:158-238):
     operates on [first_n, num_fg_classes, feat_dim] with per-class pairwise geometry.
 
-    __call__(roi_feat [N, C, F], position_embedding [C, N, N, emb]) ->
-        ([N, C, dim_out], attention [C*g, N, N]).
+    __call__(roi_feat [N, C, F], position_mat_t [C, 4, N, N]) ->
+        ([N, C, dim_out], attention [C, g, N, N]).
     """
     index: int = 1
     groups: int = 16
@@ -95,19 +119,16 @@ class NMSRelationModule(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, roi_feat: jnp.ndarray, position_embedding: jnp.ndarray):
+    def __call__(self, roi_feat: jnp.ndarray, position_mat_t: jnp.ndarray):
         n, c, f = roi_feat.shape
         g = self.groups
         dqk = self.dim_qk // g
 
         feat = jnp.transpose(roi_feat, (1, 0, 2))                 # [C, N, F]
 
-        # geometric bias from pairwise embedding: [C, N, N, emb] -> [C, N, N, g]
-        wg = nn.Dense(g, name=f"nms_pair_pos_fc1_{self.index}", dtype=self.dtype,
-                      kernel_init=_norm_init)(position_embedding)
-        wg = nn.relu(wg)
-        bias = jnp.log(jnp.maximum(wg, 1e-6))
-        bias = jnp.transpose(bias, (0, 3, 1, 2))                  # [C, g, N, N]
+        # fused geometric bias: [C, 4, N, N] -> [C, g, N, N]
+        bias = GeomBiasDense(self.groups,
+                             name=f"nms_pair_pos_fc1_{self.index}")(position_mat_t)
 
         q = nn.Dense(self.dim_qk, name=f"nms_query_{self.index}", dtype=self.dtype,
                      kernel_init=_norm_init)(feat)                # [C, N, dim_qk]

@@ -101,11 +101,26 @@ def extract_multi_position_matrix(bbox: jnp.ndarray) -> jnp.ndarray:
 
 def extract_pairwise_multi_position_embedding(position_mat: jnp.ndarray,
                                               feat_dim: int,
-                                              wave_length: float = 1000.0) -> jnp.ndarray:
+                                              wave_length: float = 1000.0,
+                                              dtype=None) -> jnp.ndarray:
     """Sinusoid over the per-class pairwise geometry (100x scaling).
 
     position_mat: [C, N, N, 4] -> [C, N, N, feat_dim].
-    Mirrors reference ...learn_nms_base.py:224-246.
+    Mirrors reference ...learn_nms_base.py:224-246. ``dtype=bfloat16`` halves the
+    HBM traffic of the large intermediate (it feeds a Dense that tolerates bf16).
     """
-    return _sinusoid(100.0 * position_mat, feat_dim, num_fields=4,
-                     wave_length=wave_length)
+    out = _sinusoid(100.0 * position_mat, feat_dim, num_fields=4,
+                    wave_length=wave_length)
+    return out.astype(dtype) if dtype is not None else out
+
+
+def extract_position_matrix_t(bbox: jnp.ndarray, nongt_dim: int) -> jnp.ndarray:
+    """Field-major pairwise geometry for the fused bias kernel: [4, N, nongt_dim]."""
+    return jnp.transpose(extract_position_matrix(bbox, nongt_dim), (2, 0, 1))
+
+
+def extract_multi_position_matrix_t(bbox: jnp.ndarray) -> jnp.ndarray:
+    """Field-major per-class pairwise geometry: [C, 4, N, N]
+    (same values as extract_multi_position_matrix, laid out for the fused
+    geometric-bias kernel)."""
+    return jnp.transpose(extract_multi_position_matrix(bbox), (0, 3, 1, 2))

@@ -61,7 +61,7 @@ def _intra_block_fixpoint(iou_gt: jnp.ndarray, seed_active: jnp.ndarray) -> jnp.
 @functools.partial(jax.jit, static_argnames=("block_size",))
 def greedy_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
                     valid: jnp.ndarray | None = None,
-                    block_size: int = 512) -> jnp.ndarray:
+                    block_size: int = 1024) -> jnp.ndarray:
     """Exact greedy NMS. Returns a bool keep mask in the *input* order.
 
     boxes: [N, 4]; scores: [N]; valid: optional [N] bool of real (non-padded) boxes.
@@ -104,7 +104,7 @@ def greedy_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
 @functools.partial(jax.jit, static_argnames=("top_k", "block_size"))
 def greedy_nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
                     top_k: int, valid: jnp.ndarray | None = None,
-                    block_size: int = 512):
+                    block_size: int = 1024):
     """Greedy NMS, then take the top_k kept boxes in score order, padded to top_k.
 
     Static-shape replacement for the reference proposal op's keep-list handling
