@@ -82,6 +82,39 @@ class Bottleneck(nn.Module):
         return nn.relu(sc + y)
 
 
+class _Conv1Weights(nn.Module):
+    """Holds the conv1 kernel under the standard path (conv1/kernel) so the
+    space-to-depth stem shares parameters with the plain 7x7 stem."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (7, 7, 3, 64))
+
+
+def _s2d_conv1(x: jnp.ndarray, w7: jnp.ndarray, dtype) -> jnp.ndarray:
+    """conv1 (7x7, stride 2, pad 3) via space-to-depth: bit-identical math.
+
+    x: [B, H, W, 3] -> [B, H/2, W/2, 64]. The 7x7 taps scatter into a 4x4 kernel
+    over 2x2-block channels: output row h reads input rows 2h-3..2h+3, i.e. s2d
+    rows h-2..h+1 — a 4-tap window with pad (2, 1); tap (di, parity py) holds
+    original tap i = 2*di + py - 1 (i = -1 is zero padding).
+    """
+    import jax
+    B, H, W, C = x.shape
+    s2d = (x.reshape(B, H // 2, 2, W // 2, 2, C)
+           .transpose(0, 1, 3, 2, 4, 5)
+           .reshape(B, H // 2, W // 2, 4 * C))
+    w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w4 = (w8.reshape(4, 2, 4, 2, C, 64)
+          .transpose(0, 2, 1, 3, 4, 5)
+          .reshape(4, 4, 4 * C, 64))
+    return jax.lax.conv_general_dilated(
+        s2d, w4.astype(dtype), (1, 1), ((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype)
+
+
 def _unit_names(stage: int, n: int) -> Sequence[str]:
     """Caffe ResNet-101 unit naming: res2 a,b,c; res3 a,b1..b3; res4 a,b1..b22;
     res5 a,b,c (matches reference symbol names)."""
@@ -95,13 +128,30 @@ class ResNet101C4(nn.Module):
 
     Mirrors get_resnet_v1_conv4 (rcnn_base.py:29-619). Returns features for the
     requested stages; stage 4 is the default output.
+
+    The stem pads the 3 input channels to 8 with zeros before the 7x7/2 conv —
+    bit-identical math (zero channels contribute nothing) that halves the conv1
+    cost on TPU (measured 1.13 -> 0.55 ms at 608x1024; XLA's 3-channel conv path
+    is pathologically slow). The stored parameter stays the reference-shaped
+    [7, 7, 3, 64] ``conv1``.
     """
     dtype: Any = jnp.bfloat16
     out_stages: Sequence[int] = (4,)
+    stem_pad8: bool = True
 
     @nn.compact
     def __call__(self, x):
-        x = _conv("conv1", 64, 7, 2, dtype=self.dtype)(x)
+        if self.stem_pad8:
+            import jax
+            w7 = _Conv1Weights(name="conv1")()      # param path conv1/kernel
+            xp = jnp.pad(x.astype(self.dtype), ((0, 0), (0, 0), (0, 0), (0, 5)))
+            w7p = jnp.pad(w7, ((0, 0), (0, 0), (0, 5), (0, 0))).astype(self.dtype)
+            x = jax.lax.conv_general_dilated(
+                xp, w7p, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype)
+        else:
+            x = _conv("conv1", 64, 7, 2, dtype=self.dtype)(x)
         x = nn.relu(FrozenBatchNorm(name="bn_conv1")(x))
         # MXNet pool1: 3x3/2, pad 1 -> ceil-mode padding handled by SAME-ish pad
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
