@@ -155,6 +155,9 @@ def default_config() -> AttrDict:
     TPU.MESH_DATA_AXIS = "data"
     # Exact on-device greedy NMS: iterate suppression to fixpoint.
     TPU.NMS_EXACT = True
+    # ROI feature extraction: "align" (MXU ROIAlign, TPU default) or "pool"
+    # (exact MXNet ROIPooling semantics for reference parity).
+    TPU.ROI_METHOD = "align"
 
     return config
 

@@ -200,3 +200,76 @@ def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int):
         return state.apply_gradients(grads), metrics
 
     return train_step
+
+
+def make_train_step_rpn(model, cfg, max_gt: int):
+    """RPN-only train step (reference function/train_rpn.py:29-135 - the alternate
+    training scheme: train the RPN standalone, then dump proposals for a separate
+    RCNN stage). Loss = RPN cls (valid-normalized CE) + smooth-l1 bbox.
+
+    Batch schema: image [B,H,W,3], im_info [B,3], gt_boxes [B,G,5], gt_valid [B,G].
+    """
+    import jax
+    import jax.numpy as jnp
+    from relation_tpu.models.targets import anchor_targets
+    from relation_tpu.models.losses import rpn_losses, accuracy_ignore
+    from relation_tpu.models.fpn import RelationRCNNFPN, fpn_anchors, FPN_STRIDES
+    from relation_tpu.ops.anchors import generate_anchors, shift_anchors
+
+    is_fpn = isinstance(model, RelationRCNNFPN)
+    stride = int(cfg.network.RPN_FEAT_STRIDE)
+    base_anchors = generate_anchors(stride, tuple(cfg.network.ANCHOR_RATIOS),
+                                    tuple(cfg.network.ANCHOR_SCALES))
+
+    def per_image(params, image, im_info, gt_boxes, gt_valid, rng):
+        if is_fpn:
+            _, rpn_out = model.apply({"params": params}, image,
+                                     method=RelationRCNNFPN.features_and_rpn)
+            anchors_d = fpn_anchors(
+                {s: rpn_out[s][0].shape[:2] for s in FPN_STRIDES},
+                tuple(cfg.network.ANCHOR_SCALES),
+                tuple(cfg.network.ANCHOR_RATIOS))
+            anchors = jnp.concatenate([anchors_d[s] for s in FPN_STRIDES])
+            rpn_cls = jnp.concatenate(
+                [rpn_out[s][0].reshape(-1, 2) for s in FPN_STRIDES])
+            rpn_bbox = jnp.concatenate(
+                [rpn_out[s][1].reshape(-1, 4) for s in FPN_STRIDES])
+        else:
+            _, rpn_cls, rpn_bbox = model.apply(
+                {"params": params}, image, method=type(model).features_and_rpn)
+            fh, fw = rpn_cls.shape[0], rpn_cls.shape[1]
+            anchors = shift_anchors(base_anchors, fh, fw, stride)
+            rpn_cls = rpn_cls.reshape(-1, 2)
+            rpn_bbox = rpn_bbox.reshape(-1, 4)
+
+        label, btgt, bwt = anchor_targets(
+            anchors, gt_boxes, gt_valid, im_info, rng,
+            rpn_batch_size=int(cfg.TRAIN.RPN_BATCH_SIZE),
+            fg_fraction=float(cfg.TRAIN.RPN_FG_FRACTION),
+            positive_overlap=float(cfg.TRAIN.RPN_POSITIVE_OVERLAP),
+            negative_overlap=float(cfg.TRAIN.RPN_NEGATIVE_OVERLAP),
+            clobber_positives=bool(cfg.TRAIN.RPN_CLOBBER_POSITIVES),
+            bbox_weights=tuple(cfg.TRAIN.RPN_BBOX_WEIGHTS))
+        cls_loss, bbox_loss = rpn_losses(
+            rpn_cls, rpn_bbox, label, btgt, bwt,
+            int(cfg.TRAIN.RPN_BATCH_SIZE), sigma=float(cfg.TRAIN.rpn_loss_scale))
+        total = cls_loss + bbox_loss
+        return total, {"rpn_cls_loss": cls_loss, "rpn_bbox_loss": bbox_loss,
+                       "rpn_acc": accuracy_ignore(rpn_cls, label),
+                       "total_loss": total}
+
+    def train_step(state, batch):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        rngs = jax.random.split(step_rng, batch["image"].shape[0])
+
+        def loss_fn(params):
+            totals, metrics = jax.vmap(per_image, in_axes=(None, 0, 0, 0, 0, 0))(
+                params, batch["image"], batch["im_info"], batch["gt_boxes"],
+                batch["gt_valid"], rngs)
+            return jnp.mean(totals), jax.tree.map(jnp.mean, metrics)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        return state.apply_gradients(grads), metrics
+
+    return train_step

@@ -61,12 +61,18 @@ def build_model(cfg, tiny: bool = False):
         num_classes=cfg.dataset.NUM_CLASSES,
         num_anchors=cfg.network.NUM_ANCHORS,
         class_agnostic=cfg.CLASS_AGNOSTIC,
-        use_relation="attention" in cfg.symbol,
+        # relation modules sit in the detection head only for the *_rcnn_attention
+        # / *_dcn_attention / *_fpn_attention symbols; the learn-NMS-only variant
+        # (resnet_v1_101_rcnn_learn_nms_1024_attention_...) has a plain 2FC head
+        # (reference symbols/resnet_v1_101_rcnn_learn_nms_1024_*.py)
+        use_relation=any(t in cfg.symbol for t in
+                         ("rcnn_attention", "dcn_attention", "fpn_attention")),
         use_learn_nms=bool(cfg.TRAIN.LEARN_NMS or cfg.TEST.LEARN_NMS),
         first_n=int(cfg.TRAIN.FIRST_N),
         num_thresh=len(threshes),
         bbox_means=tuple(cfg.TRAIN.BBOX_MEANS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None,
         bbox_stds=tuple(cfg.TRAIN.BBOX_STDS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None,
+        roi_method=str(cfg.TPU.get("ROI_METHOD", "align")),
         backbone="tiny" if tiny else "resnet101",
         head_dim=64 if tiny else 1024,
         conv_dtype=jnp.float32 if tiny else jnp.bfloat16,

@@ -85,3 +85,36 @@ def test_proposal_dump_recall_and_rcnn_train(rng, tmp_path):
     m = jax.tree.map(float, metrics)
     assert np.isfinite(m["total_loss"])
     assert {"rcnn_cls_loss", "rcnn_bbox_loss", "rcnn_acc"} <= set(m)
+
+
+def test_rpn_only_train_step(rng):
+    from relation_tpu.core.rpn_workflow import make_train_step_rpn
+    cfg = tiny_cfg()
+    cfg.TRAIN.LEARN_NMS = False
+    cfg.TEST.LEARN_NMS = False
+    cfg.symbol = "resnet_v1_101_rcnn"
+    model = build_model(cfg, tiny=True)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               jnp.zeros((64, 64, 3)),
+                               jnp.asarray([64.0, 64.0, 1.0]))
+    step = make_train_step_rpn(model, cfg, max_gt=4)
+    from tests.test_train_predict import make_batch
+    batch = jax.tree.map(jnp.asarray, make_batch(rng, B=2))
+    state2, metrics = jax.jit(step)(state, batch)
+    m = jax.tree.map(float, metrics)
+    assert np.isfinite(m["total_loss"])
+    assert set(m) == {"rpn_cls_loss", "rpn_bbox_loss", "rpn_acc", "total_loss"}
+
+
+def test_symbol_registry_relation_rule():
+    from relation_tpu.core.trainer import build_model
+    from tests.test_train_predict import tiny_cfg
+    cfg = tiny_cfg()
+    # learn-NMS-only variant: plain head, learned NMS on top (reference
+    # resnet_v1_101_rcnn_learn_nms_1024_attention_*.py has no head relation)
+    cfg.symbol = "resnet_v1_101_rcnn_learn_nms_1024_attention_1024_pairwise_position_multi_head_16"
+    m = build_model(cfg, tiny=True)
+    assert not m.use_relation and m.use_learn_nms
+    cfg.symbol = "resnet_v1_101_rcnn_attention_1024_pairwise_position_multi_head_16_learn_nms"
+    m = build_model(cfg, tiny=True)
+    assert m.use_relation and m.use_learn_nms
