@@ -39,8 +39,12 @@ def extract_position_matrix(bbox: jnp.ndarray, nongt_dim: int) -> jnp.ndarray:
     Mirrors reference symbols/..._learn_nms.py:52-88.
     """
     xmin, ymin, xmax, ymax = (bbox[:, i] for i in range(4))
-    w = xmax - xmin + 1.0
-    h = ymax - ymin + 1.0
+    # clamp: degenerate boxes (exp-underflowed widths from extreme regression
+    # deltas) would otherwise divide by ~0 here and poison the graph with NaN;
+    # the reference's numpy path has the same latent hazard but never hits it
+    # because it always starts from pretrained weights
+    w = jnp.maximum(xmax - xmin + 1.0, 1e-3)
+    h = jnp.maximum(ymax - ymin + 1.0, 1e-3)
     cx = 0.5 * (xmin + xmax)
     cy = 0.5 * (ymin + ymax)
 
@@ -85,8 +89,8 @@ def extract_multi_position_matrix(bbox: jnp.ndarray) -> jnp.ndarray:
     """
     b = jnp.transpose(bbox, (1, 0, 2))                          # [C, N, 4]
     xmin, ymin, xmax, ymax = (b[..., i] for i in range(4))
-    w = xmax - xmin + 1.0
-    h = ymax - ymin + 1.0
+    w = jnp.maximum(xmax - xmin + 1.0, 1e-3)   # degenerate-box guard (see above)
+    h = jnp.maximum(ymax - ymin + 1.0, 1e-3)
     cx = 0.5 * (xmin + xmax)
     cy = 0.5 * (ymin + ymax)
 
