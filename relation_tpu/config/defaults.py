@@ -158,6 +158,9 @@ def default_config() -> AttrDict:
     # ROI feature extraction: "align" (MXU ROIAlign, TPU default) or "pool"
     # (exact MXNet ROIPooling semantics for reference parity).
     TPU.ROI_METHOD = "align"
+    # Global-norm gradient clipping (0 = off, reference behavior). Useful when
+    # training from random init where the reference always starts pretrained.
+    TPU.GRAD_CLIP = 0.0
 
     return config
 

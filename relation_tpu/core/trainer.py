@@ -117,7 +117,9 @@ def make_optimizer(cfg, epoch_size: int, mask) -> optax.GradientTransformation:
         flat = flatten_dict(params)
         return unflatten_dict({p: ("offset" in p) for p in flat})
 
+    clip = float(cfg.TPU.get("GRAD_CLIP", 0.0))
     tx = optax.chain(
+        optax.clip_by_global_norm(clip) if clip > 0 else optax.identity(),
         optax.masked(optax.add_decayed_weights(float(cfg.TRAIN.wd)), mask),
         optax.sgd(learning_rate=sched, momentum=float(cfg.TRAIN.momentum)),
         optax.masked(optax.scale(0.01), lr_mult_mask),

@@ -67,8 +67,11 @@ def learn_nms_losses(nms_multi_score: jnp.ndarray, nms_multi_target: jnp.ndarray
     """Binary CE split into pos/neg terms (reference :539-551). Shapes [F, C, T]."""
     first_n, _, num_thresh = nms_multi_score.shape
     normalizer = first_n * num_thresh
-    pos = -nms_multi_target * jnp.log(nms_multi_score + eps)
-    neg = -(1.0 - nms_multi_target) * jnp.log(1.0 - nms_multi_score + eps)
+    # clamp: under XLA fusion, softmax*sigmoid can round to 1 + ulp (1.2e-7),
+    # which exceeds the reference's 1e-8 eps and drives log(1 - s + eps) to NaN
+    s = jnp.clip(nms_multi_score, 0.0, 1.0)
+    pos = -nms_multi_target * jnp.log(s + eps)
+    neg = -(1.0 - nms_multi_target) * jnp.log(1.0 - s + eps)
     pos_loss = nms_loss_scale * jnp.sum(pos) / normalizer
     neg_loss = nms_loss_scale * jnp.sum(neg) / normalizer
     total = nms_pos_scale * pos_loss + neg_loss

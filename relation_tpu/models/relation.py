@@ -118,6 +118,10 @@ class NMSRelationModule(nn.Module):
     dim_out: int = 128
     dtype: Any = jnp.float32
 
+    fully_fused: bool = False   # single-kernel path (ops/pallas/nms_attention);
+                                # measured slightly slower at N=100 (lane padding
+                                # blocks the MXU bias contraction) — off by default
+
     @nn.compact
     def __call__(self, roi_feat: jnp.ndarray, position_mat_t: jnp.ndarray):
         n, c, f = roi_feat.shape
@@ -126,26 +130,44 @@ class NMSRelationModule(nn.Module):
 
         feat = jnp.transpose(roi_feat, (1, 0, 2))                 # [C, N, F]
 
-        # fused geometric bias: [C, 4, N, N] -> [C, g, N, N]
-        bias = GeomBiasDense(self.groups,
-                             name=f"nms_pair_pos_fc1_{self.index}")(position_mat_t)
-
         q = nn.Dense(self.dim_qk, name=f"nms_query_{self.index}", dtype=self.dtype,
                      kernel_init=_norm_init)(feat)                # [C, N, dim_qk]
         k = nn.Dense(self.dim_qk, name=f"nms_key_{self.index}", dtype=self.dtype,
                      kernel_init=_norm_init)(feat)
-        q = q.reshape(c, n, g, dqk)
-        k = k.reshape(c, n, g, dqk)
 
-        aff = jnp.einsum("cigd,cjgd->cgij", q, k) / jnp.sqrt(float(dqk))
-        attn = nn.softmax(aff + bias, axis=-1)                    # [C, g, N, N]
+        wg, bg = _DenseParams((64, g),
+                              name=f"nms_pair_pos_fc1_{self.index}")()
+        wl = self.param(f"nms_linear_out_{self.index}_weight", _norm_init,
+                        (g, f, self.dim_out // g))
+        bl = self.param(f"nms_linear_out_{self.index}_bias",
+                        nn.initializers.zeros, (self.dim_out,))
 
-        out = jnp.einsum("cgij,cjf->cgif", attn, feat)            # [C, g, N, F]
+        if self.fully_fused:
+            from relation_tpu.ops.pallas.nms_attention import (
+                fused_nms_relation_attention)
+            y = fused_nms_relation_attention(position_mat_t, q, k, feat, wg, bg,
+                                             wl)
+        else:
+            # fused Pallas geometric bias + XLA attention (fastest measured mix)
+            from relation_tpu.ops.pallas.geom_bias import fused_geometric_bias
+            bias = fused_geometric_bias(position_mat_t, wg, bg)  # [C, g, N, N]
+            qg = q.reshape(c, n, g, dqk)
+            kg = k.reshape(c, n, g, dqk)
+            aff = jnp.einsum("cigd,cjgd->cgij", qg, kg) / jnp.sqrt(float(dqk))
+            attn = nn.softmax(aff + bias, axis=-1)                # [C, g, N, N]
+            av = jnp.einsum("cgij,cjf->cgif", attn, feat)         # [C, g, N, F]
+            y = jnp.einsum("cgif,gfe->cige", av, wl).reshape(c, n, -1)
+        y = y + bl                                                 # [C, N, out]
+        return jnp.transpose(y, (1, 0, 2)), None                   # [N, C, out]
 
-        w = self.param(f"nms_linear_out_{self.index}_weight", _norm_init,
-                       (g, f, self.dim_out // g))
-        b = self.param(f"nms_linear_out_{self.index}_bias", nn.initializers.zeros,
-                       (self.dim_out,))
-        y = jnp.einsum("cgif,gfe->cige", out, w)                  # [C, g, N, out/g]
-        y = jnp.transpose(y, (0, 2, 1, 3)).reshape(c, n, self.dim_out) + b
-        return jnp.transpose(y, (1, 0, 2)), attn                  # [N, C, out]
+
+class _DenseParams(nn.Module):
+    """Parameter holder with Dense-compatible paths (kernel/bias) for modules
+    whose forward runs inside a fused kernel."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", _norm_init, self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[1],))
+        return k, b

@@ -1,0 +1,157 @@
+"""Pallas TPU kernel: the learned-NMS relation attention, fully fused.
+
+One kernel invocation per fg class computes, without leaving VMEM:
+
+    trig   = sincos(100 * pos / lambda_k)                  # 4 fields x 8 freqs
+    bias   = log(max(trig @ Wg + bg, 1e-6))                # [G, N, N] geometric bias
+    aff_g  = (q_g k_g^T) / sqrt(d)                         # per group
+    attn_g = softmax(aff_g + bias_g)
+    av_g   = attn_g @ v                                    # [N, F]
+    out    = concat_g(av_g @ Wl_g)                         # grouped linear_out
+
+This is the reference's ``attention_module_nms_multi_head``
+(symbols/..._learn_nms.py:158-238) as a single fused attention kernel — the
+[C, G, N, N] bias and attention tensors (2 x 12.8 MB at the flagship shape) and the
+[C, N, N, 64] sinusoid embedding (205 MB) never touch HBM.
+
+Differentiable via custom_vjp: forward = kernel, backward = jax.vjp of the jnp
+reference (training takes that path; inference never does).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from relation_tpu.ops.pallas.geom_bias import _frequencies, _sincos
+
+
+def _attention_kernel(pos_ref, q_ref, k_ref, v_ref, wg_ref, bg_ref, wl_ref,
+                      out_ref, *, scale, groups, dqk, n):
+    """Blocks (one class): pos [1, 4, N, N]; q,k [1, N, G*dqk]; v [1, N, F];
+    wg [64, G]; bg [1, G]; wl [G*F, E]; out [1, N, G*E].
+
+    Everything stays in [N, N] layout — Mosaic rejects unaligned flat<->2D
+    reshapes, so the 64->G bias contraction runs as an unrolled FMA chain over
+    the trig planes instead of a matmul (64 x G vector FMAs, negligible next to
+    the transcendentals)."""
+    freqs = _frequencies()
+    G = groups
+    F = v_ref.shape[2]
+    E = out_ref.shape[2] // G
+
+    # trig planes: 64 x [N, N], feature order j*16 + (sin 0-7 | cos 8-15)
+    trig = []
+    for j in range(4):
+        p = pos_ref[0, j, :, :] * scale                       # [N, N]
+        sins, coss = [], []
+        for kf in range(8):
+            s, c = _sincos(p * float(freqs[kf]))
+            sins.append(s)
+            coss.append(c)
+        trig.extend(sins)
+        trig.extend(coss)
+
+    v = v_ref[0]                                              # [N, F]
+    inv_sqrt = 1.0 / float(np.sqrt(dqk))
+    for g in range(G):
+        acc = jnp.full((n, n), 0.0, dtype=jnp.float32)
+        for f in range(64):
+            acc = acc + trig[f] * wg_ref[f, g]
+        bias = jnp.log(jnp.maximum(acc + bg_ref[0, g], 1e-6))
+
+        qg = q_ref[0, :, g * dqk:(g + 1) * dqk]               # [N, dqk]
+        kg = k_ref[0, :, g * dqk:(g + 1) * dqk]
+        aff = jax.lax.dot_general(
+            qg, kg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_sqrt    # [N, N]
+        w = aff + bias
+        w = w - jnp.max(w, axis=-1, keepdims=True)
+        e = jnp.exp(w)
+        attn = e / jnp.sum(e, axis=-1, keepdims=True)
+        av = jnp.dot(attn, v, preferred_element_type=jnp.float32)   # [N, F]
+        wl_g = wl_ref[g * F:(g + 1) * F, :]                   # [F, E]
+        out_ref[0, :, g * E:(g + 1) * E] = jnp.dot(
+            av, wl_g, preferred_element_type=jnp.float32)
+
+
+def nms_relation_attention_reference(pos_t, q, k, v, wg, bg, wl,
+                                     scale: float = 100.0):
+    """jnp reference. pos_t [C,4,N,N]; q,k [C,N,G*dqk]; v [C,N,F];
+    wg [64,G]; bg [G]; wl [G,F,E] -> out [C,N,G*E] (head-major)."""
+    from relation_tpu.ops.pallas.geom_bias import geom_bias_reference
+    C, N = q.shape[0], q.shape[1]
+    G = wg.shape[1]
+    dqk = q.shape[2] // G
+    bias = geom_bias_reference(pos_t, wg, bg, scale)          # [C, G, N, N]
+    qg = q.reshape(C, N, G, dqk)
+    kg = k.reshape(C, N, G, dqk)
+    aff = jnp.einsum("cigd,cjgd->cgij", qg, kg) / np.sqrt(dqk)
+    attn = jax.nn.softmax(aff + bias, axis=-1)
+    av = jnp.einsum("cgij,cjf->cgif", attn, v)                # [C, G, N, F]
+    # NOTE output subscripts "cige" order the axes (c, i, g, e) = [C, N, G, E]
+    # directly — reshaping gives head-major channels g*E+e with no transpose.
+    # (The pre-fused module erroneously transposed here, scrambling channels
+    # across ROIs; the kernel parity test caught it.)
+    y = jnp.einsum("cgif,gfe->cige", av, wl)                  # [C, N, G, E]
+    return y.reshape(C, N, -1)                                # [C, N, G*E]
+
+
+def _impl(pos_t, q, k, v, wg, bg, wl, scale, interpret):
+    C, _, N, _ = pos_t.shape
+    G = wg.shape[1]
+    dqk = q.shape[2] // G
+    F = v.shape[2]
+    E = wl.shape[2]
+    out = pl.pallas_call(
+        functools.partial(_attention_kernel, scale=scale, groups=G, dqk=dqk, n=N),
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((1, 4, N, N), lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, G * dqk), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, G * dqk), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, F), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, G), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * F, E), lambda c: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, G * E), lambda c: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, N, G * E), jnp.float32),
+        interpret=interpret,
+    )(pos_t, q, k, v, wg, bg.reshape(1, G), wl.reshape(G * F, E))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_nms_relation_attention(pos_t, q, k, v, wg, bg, wl, scale=100.0):
+    """Fused learned-NMS relation attention. Shapes as in the reference impl
+    above; returns [C, N, G*E] (head-major output channels, matching the
+    reference's grouped linear_out layout)."""
+    interpret = jax.devices()[0].platform == "cpu"
+    return _impl(pos_t, q, k, v, wg, bg, wl, scale, interpret)
+
+
+def _fwd(pos_t, q, k, v, wg, bg, wl, scale):
+    return (fused_nms_relation_attention(pos_t, q, k, v, wg, bg, wl, scale),
+            (pos_t, q, k, v, wg, bg, wl))
+
+
+def _bwd(scale, res, g):
+    pos_t, q, k, v, wg, bg, wl = res
+    _, vjp = jax.vjp(
+        lambda *a: nms_relation_attention_reference(*a, scale=scale),
+        pos_t, q, k, v, wg, bg, wl)
+    return vjp(g)
+
+
+fused_nms_relation_attention.defvjp(_fwd, _bwd)
