@@ -163,3 +163,93 @@ def make_predict_fn(model: RelationRCNN, cfg, feat_hw: tuple[int, int]):
         return out
 
     return jax.jit(predict)
+
+
+def make_predict_fn_rcnn(model, cfg):
+    """Inference from precomputed proposals (cfg.TEST.HAS_RPN false — the
+    reference's proposal-file eval path, function/test_rcnn.py:40-51 get_symbol_rcnn
+    + TestLoader(has_rpn=False)).
+
+    Returns fn(params, image [H,W,3], im_info [3], rois [R,4], rois_valid [R])
+    -> dict with 'dets' like make_predict_fn. TOP_ROIS selection happens in the
+    loader; padding rides through on the validity mask.
+    """
+    from relation_tpu.models.fpn import RelationRCNNFPN
+    is_fpn = isinstance(model, RelationRCNNFPN)
+    num_classes = int(cfg.dataset.NUM_CLASSES)
+    max_det = int(cfg.TEST.max_per_image)
+    learn_nms = bool(cfg.TEST.LEARN_NMS)
+    softnms = bool(cfg.TEST.SOFTNMS)
+    nms_thresh = float(cfg.TEST.NMS)
+    merge_method = int(cfg.TEST.MERGE_METHOD)
+    score_thresh = 1e-3
+    class_agnostic = bool(cfg.CLASS_AGNOSTIC)
+    stds = tuple(cfg.TRAIN.BBOX_STDS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None
+    means = tuple(cfg.TRAIN.BBOX_MEANS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None
+
+    def predict(params, image, im_info, rois, rois_valid):
+        if is_fpn:
+            feat, _ = model.apply({"params": params}, image,
+                                  method=RelationRCNNFPN.features_and_rpn)
+        else:
+            feat, _, _ = model.apply({"params": params}, image,
+                                     method=type(model).features_and_rpn)
+        nongt_dim = rois.shape[0]
+        cls_score, bbox_deltas, fc2 = model.apply(
+            {"params": params}, feat, rois, nongt_dim, method=type(model).head)
+        out = {"rois": rois}
+
+        if learn_nms:
+            ln = model.apply({"params": params}, cls_score, bbox_deltas, rois,
+                             fc2, im_info, method=type(model).learn_nms)
+            final = merge_multi_score(ln["nms_multi_score"], merge_method)
+            boxes = ln["sorted_bbox"] / im_info[2]
+            F, C = final.shape
+            cls_ids = jnp.broadcast_to(jnp.arange(1, C + 1)[None, :], (F, C))
+            valid = final > score_thresh
+            dets = _topk_detections(cls_ids.reshape(-1), final.reshape(-1),
+                                    boxes.reshape(-1, 4), valid.reshape(-1),
+                                    max_det)
+            out.update(dets=dets, final_score=final)
+            return out
+
+        cls_prob = jax.nn.softmax(cls_score, axis=-1)
+        deltas = bbox_deltas
+        if stds is not None:
+            kk = deltas.shape[1] // 4
+            deltas = (deltas.reshape(-1, kk, 4) * jnp.asarray(stds)
+                      + jnp.asarray(means)).reshape(-1, 4 * kk)
+        boxes_all = bbox_pred(rois, deltas)
+        boxes_all = clip_boxes(boxes_all, (im_info[0], im_info[1])) / im_info[2]
+        N = cls_prob.shape[0]
+        fg_classes = num_classes - 1
+        scores_t = cls_prob[:, 1:].T
+        if class_agnostic:
+            boxes_c = jnp.broadcast_to(
+                boxes_all.reshape(N, -1, 4)[:, 1][None], (fg_classes, N, 4))
+        else:
+            boxes_c = jnp.transpose(boxes_all.reshape(N, -1, 4)[:, 1:], (1, 0, 2))
+        valid = (scores_t > score_thresh) & rois_valid[None, :]
+        if softnms:
+            idx, ks, kv = jax.vmap(
+                lambda b, s, v: soft_nms(b, s, nms_thresh, max_det, v,
+                                         score_floor=score_thresh)
+            )(boxes_c, scores_t, valid)
+            cls_ids = jnp.broadcast_to(
+                jnp.arange(1, fg_classes + 1)[:, None], idx.shape)
+            kb = jnp.take_along_axis(boxes_c, idx[..., None], axis=1)
+            dets = _topk_detections(cls_ids.reshape(-1), ks.reshape(-1),
+                                    kb.reshape(-1, 4), kv.reshape(-1), max_det)
+        else:
+            keep = jax.vmap(
+                lambda b, s, v: greedy_nms_mask(b, s, nms_thresh, v)
+            )(boxes_c, scores_t, valid)
+            cls_ids = jnp.broadcast_to(
+                jnp.arange(1, fg_classes + 1)[:, None], keep.shape)
+            dets = _topk_detections(cls_ids.reshape(-1), scores_t.reshape(-1),
+                                    boxes_c.reshape(-1, 4), keep.reshape(-1),
+                                    max_det)
+        out.update(dets=dets, cls_prob=cls_prob)
+        return out
+
+    return jax.jit(predict)

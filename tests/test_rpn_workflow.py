@@ -118,3 +118,26 @@ def test_symbol_registry_relation_rule():
     cfg.symbol = "resnet_v1_101_rcnn_attention_1024_pairwise_position_multi_head_16_learn_nms"
     m = build_model(cfg, tiny=True)
     assert m.use_relation and m.use_learn_nms
+
+
+def test_predict_from_cached_proposals(rng):
+    """HAS_RPN=false eval path: head inference on provided rois."""
+    from relation_tpu.core.predictor import make_predict_fn_rcnn
+    cfg = tiny_cfg()
+    cfg.TRAIN.LEARN_NMS = False
+    cfg.TEST.LEARN_NMS = False
+    cfg.TEST.HAS_RPN = False
+    cfg.TEST.NMS = 0.5
+    cfg.symbol = "resnet_v1_101_rcnn"
+    model = build_model(cfg, tiny=True)
+    img = jnp.asarray(rng.randn(64, 64, 3).astype(np.float32))
+    R = 20
+    x1 = rng.uniform(0, 40, R); y1 = rng.uniform(0, 40, R)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + 20, y1 + 20], 1).astype(np.float32))
+    valid = jnp.asarray(np.arange(R) < 15)
+    params = model.init(jax.random.PRNGKey(0), img, rois,
+                        jnp.asarray([64.0, 64.0, 1.0]), R)["params"]
+    fn = make_predict_fn_rcnn(model, cfg)
+    out = fn(params, img, jnp.asarray([64.0, 64.0, 1.0]), rois, valid)
+    dets = np.asarray(out["dets"])
+    assert dets.shape == (cfg.TEST.max_per_image, 6)
