@@ -63,10 +63,12 @@ def main():
     _ = np.asarray(jfn(params, image, im_info, n_iter))
 
     rt_ms = _round_trip_ms()
-    t0 = time.perf_counter()
-    _ = np.asarray(jfn(params, image, im_info, n_iter))
-    total_ms = (time.perf_counter() - t0) * 1e3
-    ms = max(total_ms - rt_ms, 0.0) / n_iter
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(jfn(params, image, im_info, n_iter))
+        best = min(best, (time.perf_counter() - t0) * 1e3)
+    ms = max(best - rt_ms, 0.0) / n_iter
 
     baseline_s = 0.175  # Titan X, reference README "2FC + Relation + Learn NMS"
     print(json.dumps({

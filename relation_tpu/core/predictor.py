@@ -242,7 +242,8 @@ def make_predict_fn_rcnn(model, cfg):
                                     kb.reshape(-1, 4), kv.reshape(-1), max_det)
         else:
             keep = jax.vmap(
-                lambda b, s, v: greedy_nms_mask(b, s, nms_thresh, v)
+                lambda b, s, v: greedy_nms_mask(b, s, nms_thresh, v,
+                                                max_keep=max_det)
             )(boxes_c, scores_t, valid)
             cls_ids = jnp.broadcast_to(
                 jnp.arange(1, fg_classes + 1)[:, None], keep.shape)

@@ -58,53 +58,65 @@ def _intra_block_fixpoint(iou_gt: jnp.ndarray, seed_active: jnp.ndarray) -> jnp.
     return active
 
 
-@functools.partial(jax.jit, static_argnames=("block_size",))
+@functools.partial(jax.jit, static_argnames=("block_size", "max_keep"))
 def greedy_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
                     valid: jnp.ndarray | None = None,
-                    block_size: int = 1024) -> jnp.ndarray:
+                    block_size: int = 512,
+                    max_keep: int | None = None) -> jnp.ndarray:
     """Exact greedy NMS. Returns a bool keep mask in the *input* order.
 
     boxes: [N, 4]; scores: [N]; valid: optional [N] bool of real (non-padded) boxes.
     Semantics match the reference host NMS (lib/nms/nms.py:45-83): descending score
     order, IoU with the +1 convention, suppression strictly by earlier kept boxes.
+
+    ``max_keep``: stop sweeping once at least this many boxes are kept — the mask
+    is then exact for the top-max_keep kept boxes (all the downstream consumers,
+    proposal top-N and max_per_image, use only those). This skips the low-score
+    tail blocks entirely: a while_loop over score-sorted blocks terminates early.
     """
     n = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
     masked_scores = jnp.where(valid, scores, _NEG_INF)
     order = jnp.argsort(-masked_scores)                        # stable, descending
-    boxes_s = boxes[order]
-    valid_s = valid[order]
+    B = min(block_size, n)
+    num_blocks = -(-n // B)
+    np_pad = num_blocks * B
+    boxes_s = jnp.zeros((np_pad, 4), boxes.dtype).at[:n].set(boxes[order])
+    valid_s = jnp.zeros((np_pad,), bool).at[:n].set(valid[order])
+    col_idx = jnp.arange(np_pad)
+    keep_cap = np_pad if max_keep is None else int(max_keep)
 
-    num_blocks = -(-n // block_size)
-    keep_s = jnp.zeros((n,), dtype=bool)
+    def cond(state):
+        b, keep_s, kept = state
+        return (b < num_blocks) & (kept < keep_cap)
 
-    for b in range(num_blocks):                                # static unrolled loop
-        lo = b * block_size
-        hi = min(lo + block_size, n)
-        blk = boxes_s[lo:hi]
-        blk_valid = valid_s[lo:hi]
-
-        if lo > 0:
-            iou_prev = bbox_overlaps(blk, boxes_s[:lo])        # [B, prefix]
-            sup_prev = jnp.any((iou_prev > iou_thresh) & keep_s[None, :lo], axis=1)
-        else:
-            sup_prev = jnp.zeros((hi - lo,), dtype=bool)
-
+    def body(state):
+        b, keep_s, kept = state
+        lo = b * B
+        blk = jax.lax.dynamic_slice(boxes_s, (lo, 0), (B, 4))
+        blk_valid = jax.lax.dynamic_slice(valid_s, (lo,), (B,))
+        iou_all = bbox_overlaps(blk, boxes_s)                  # [B, Np]
+        sup_prev = jnp.any((iou_all > iou_thresh) & keep_s[None, :]
+                           & (col_idx[None, :] < lo), axis=1)
         seed = blk_valid & ~sup_prev
         iou_blk = bbox_overlaps(blk, blk) > iou_thresh
         active = _intra_block_fixpoint(iou_blk, seed)
-        keep_s = keep_s.at[lo:hi].set(active)
+        keep_s = jax.lax.dynamic_update_slice(keep_s, active, (lo,))
+        return b + 1, keep_s, kept + jnp.sum(active.astype(jnp.int32))
+
+    init = (jnp.int32(0), jnp.zeros((np_pad,), bool), jnp.int32(0))
+    _, keep_s, _ = jax.lax.while_loop(cond, body, init)
 
     # un-sort back to input order
-    keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_s)
+    keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_s[:n])
     return keep
 
 
 @functools.partial(jax.jit, static_argnames=("top_k", "block_size"))
 def greedy_nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
                     top_k: int, valid: jnp.ndarray | None = None,
-                    block_size: int = 1024):
+                    block_size: int = 512):
     """Greedy NMS, then take the top_k kept boxes in score order, padded to top_k.
 
     Static-shape replacement for the reference proposal op's keep-list handling
@@ -118,7 +130,8 @@ def greedy_nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
     n = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
-    keep = greedy_nms_mask(boxes, scores, iou_thresh, valid, block_size)
+    keep = greedy_nms_mask(boxes, scores, iou_thresh, valid, block_size,
+                           max_keep=top_k)
     masked_scores = jnp.where(keep, scores, _NEG_INF)
     # kept boxes first, in descending score order
     order = jnp.argsort(-masked_scores)
@@ -163,7 +176,8 @@ def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray, sigma,
 
 
 def classwise_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
-                  score_thresh, valid: jnp.ndarray | None = None) -> jnp.ndarray:
+                  score_thresh, valid: jnp.ndarray | None = None,
+                  max_keep: int | None = None) -> jnp.ndarray:
     """Per-class greedy NMS keep mask.
 
     boxes: [C, N, 4] (or [N, 4] shared across classes), scores: [C, N].
@@ -176,5 +190,6 @@ def classwise_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
     if valid is None:
         valid = jnp.ones((C, n), dtype=bool)
     valid = valid & (scores > score_thresh)
-    fn = jax.vmap(lambda b, s, v: greedy_nms_mask(b, s, iou_thresh, v))
+    fn = jax.vmap(lambda b, s, v: greedy_nms_mask(b, s, iou_thresh, v,
+                                                  max_keep=max_keep))
     return fn(boxes, scores, valid)

@@ -142,3 +142,24 @@ def test_refine_bbox_clip(rng):
     assert out.shape == (8, 4, 1)
     assert out[:, 0].min() >= 0 and out[:, 2].max() <= 299
     assert out[:, 1].min() >= 0 and out[:, 3].max() <= 199
+
+
+def test_greedy_nms_early_exit_exact(rng):
+    """max_keep early exit must agree with the full sweep on the top-k kept set."""
+    n = 400
+    centers = rng.uniform(50, 450, (25, 2))
+    pick = rng.randint(0, 25, n)
+    cxy = centers[pick] + rng.uniform(-15, 15, (n, 2))
+    wh = rng.uniform(20, 80, (n, 2))
+    boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], 1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    full = np.asarray(greedy_nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                                      0.5, block_size=64))
+    early = np.asarray(greedy_nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                                       0.5, block_size=64, max_keep=10))
+    # the top-10 kept (by score) must be identical
+    order = np.argsort(-scores)
+    kept_full = [i for i in order if full[i]][:10]
+    kept_early = [i for i in order if early[i]][:10]
+    assert kept_full == kept_early
+    assert early.sum() >= 10 or early.sum() == full.sum()
