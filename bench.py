@@ -51,8 +51,10 @@ def main():
     def chained(params, image, im_info, n):
         def body(img, _):
             dets = fn(params, img, im_info)
-            # data dependency: fold a scalar of the output back into the next input
-            img = img + 0.0 * dets[0, 1]
+            # data dependency: fold a scalar of the output back into the next
+            # input. |x|*1e-30 (not 0.0*x) so no algebraic rewrite can break the
+            # serialization chain; numerically invisible at image scale.
+            img = img + jnp.abs(dets[0, 1]) * 1e-30
             return img, dets[0, 1]
         img, outs = jax.lax.scan(body, image, None, length=n)
         return outs[-1]

@@ -43,6 +43,11 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
                        img.shape[1] // int(cfg.network.RCNN_FEAT_STRIDE))
             if feat_hw not in predict_fns:
                 predict_fns[feat_hw] = make_predict_fn(model, cfg, feat_hw)
+            if bool(cfg.TPU.get("S2D_INPUT", True)):
+                # TPU-first input layout (see models/backbone.py): dense
+                # s2d planar instead of the lane-padded [H, W, 3] image
+                from relation_tpu.data.image import to_s2d_planar
+                img = to_s2d_planar(img)
             out = predict_fns[feat_hw](params, jnp.asarray(img),
                                        jnp.asarray(im_info))
             dets = np.asarray(out["dets"])          # forces execution

@@ -96,6 +96,11 @@ class TrainLoader:
         out = np.zeros((len(ims), bh, bw, 3), np.float32)
         for b, im in enumerate(ims):
             out[b, :im.shape[0], :im.shape[1]] = im
+        if bool(self.cfg.TPU.get("S2D_INPUT", True)):
+            # TPU-first input layout (see models/backbone.py): dense s2d
+            # planar [B, 12, H/2, W/2] instead of lane-padded [B, H, W, 3]
+            from relation_tpu.data.image import to_s2d_planar
+            out = np.stack([to_s2d_planar(im) for im in out])
         return {"image": out, "im_info": np.stack(infos),
                 "gt_boxes": np.stack(gts), "gt_valid": np.stack(gvs)}
 

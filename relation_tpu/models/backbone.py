@@ -29,19 +29,26 @@ import flax.linen as nn
 
 class FrozenBatchNorm(nn.Module):
     """BatchNorm with frozen statistics and frozen affine — a constant per-channel
-    scale/shift, matching use_global_stats=True inference-mode BN."""
+    scale/shift, matching use_global_stats=True inference-mode BN.
+
+    ``channel_axis`` selects the channel dimension (-1 for NHWC, 1 for the planar
+    NCHW stem path); the parameter shapes are identical either way."""
     eps: float = 1e-5
+    channel_axis: int = -1
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1]
+        c = x.shape[self.channel_axis]
         gamma = self.param("gamma", nn.initializers.ones, (c,))
         beta = self.param("beta", nn.initializers.zeros, (c,))
         mean = self.param("moving_mean", nn.initializers.zeros, (c,))
         var = self.param("moving_var", nn.initializers.ones, (c,))
         scale = gamma / jnp.sqrt(var + self.eps)
         bias = beta - mean * scale
-        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+        shape = [1] * x.ndim
+        shape[self.channel_axis] = c
+        return (x * scale.astype(x.dtype).reshape(shape)
+                + bias.astype(x.dtype).reshape(shape))
 
 
 def _conv(name, features, kernel, strides=1, dilation=1, dtype=jnp.bfloat16):
@@ -92,27 +99,28 @@ class _Conv1Weights(nn.Module):
                           (7, 7, 3, 64))
 
 
-def _s2d_conv1(x: jnp.ndarray, w7: jnp.ndarray, dtype) -> jnp.ndarray:
-    """conv1 (7x7, stride 2, pad 3) via space-to-depth: bit-identical math.
-
-    x: [B, H, W, 3] -> [B, H/2, W/2, 64]. The 7x7 taps scatter into a 4x4 kernel
-    over 2x2-block channels: output row h reads input rows 2h-3..2h+3, i.e. s2d
-    rows h-2..h+1 — a 4-tap window with pad (2, 1); tap (di, parity py) holds
-    original tap i = 2*di + py - 1 (i = -1 is zero padding).
-    """
-    import jax
-    B, H, W, C = x.shape
-    s2d = (x.reshape(B, H // 2, 2, W // 2, 2, C)
-           .transpose(0, 1, 3, 2, 4, 5)
-           .reshape(B, H // 2, W // 2, 4 * C))
+def conv1_w4(w7: jnp.ndarray) -> jnp.ndarray:
+    """Re-index the [7, 7, C, 64] conv1 kernel for the space-to-depth stem:
+    -> [16*4C, 64]. Output row h of the stride-2 conv reads input rows
+    2h+i-3 = 2(h+di-2)+pi with original tap i = 2*di + pi - 1 (i = -1 is zero
+    padding), so the 7x7 taps scatter into 4x4 taps (di, dj) over phase-major
+    s2d channels (pi, pj, c)."""
+    C = w7.shape[2]
     w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
-    w4 = (w8.reshape(4, 2, 4, 2, C, 64)
-          .transpose(0, 2, 1, 3, 4, 5)
-          .reshape(4, 4, 4 * C, 64))
-    return jax.lax.conv_general_dilated(
-        s2d, w4.astype(dtype), (1, 1), ((2, 1), (2, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=dtype)
+    return (w8.reshape(4, 2, 4, 2, C, 64)
+            .transpose(0, 2, 1, 3, 4, 5)          # (di, dj, pi, pj, c, o)
+            .reshape(16 * 4 * C, 64))
+
+
+def image_to_s2d_planar(img_hwc):
+    """Host-side space-to-depth: [H, W, C] -> [4C, H/2, W/2], channel order
+    (pi, pj, c). TPU-first input layout: a [H, W, 3] image is lane-padded
+    3->128 on device (~42x HBM waste, ~1 ms to touch at 608x1024); the s2d
+    planar form is dense. Works on numpy or jax arrays; H, W must be even."""
+    H, W, C = img_hwc.shape
+    return (img_hwc.reshape(H // 2, 2, W // 2, 2, C)
+            .transpose(1, 3, 4, 0, 2)
+            .reshape(4 * C, H // 2, W // 2))
 
 
 def _unit_names(stage: int, n: int) -> Sequence[str]:
@@ -129,32 +137,53 @@ class ResNet101C4(nn.Module):
     Mirrors get_resnet_v1_conv4 (rcnn_base.py:29-619). Returns features for the
     requested stages; stage 4 is the default output.
 
-    The stem pads the 3 input channels to 8 with zeros before the 7x7/2 conv —
-    bit-identical math (zero channels contribute nothing) that halves the conv1
-    cost on TPU (measured 1.13 -> 0.55 ms at 608x1024; XLA's 3-channel conv path
-    is pathologically slow). The stored parameter stays the reference-shaped
-    [7, 7, 3, 64] ``conv1``.
+    Accepts the image in either layout (dispatch is static on input shape):
+
+    - s2d planar ``[B, 12, H/2, W/2]`` (``image_to_s2d_planar``) — the TPU-fast
+      path: a [H, W, 3] image is lane-padded 3->128 on device, so merely
+      reading it costs ~1 ms at 608x1024; in s2d planar form the stem (conv1 as
+      16-tap im2col + one MXU matmul, bn, relu, pool) runs in ~0.4 ms instead
+      of ~1.9 ms (tools/microbench_stem.py).
+    - NHWC ``[B, H, W, 3]`` — legacy path: channels zero-padded to 8 before
+      the 7x7/2 conv (bit-identical math, halves XLA's 3-channel conv cost).
+
+    The stored parameter is the reference-shaped [7, 7, 3, 64] ``conv1`` in
+    both paths.
     """
     dtype: Any = jnp.bfloat16
     out_stages: Sequence[int] = (4,)
-    stem_pad8: bool = True
 
     @nn.compact
     def __call__(self, x):
-        if self.stem_pad8:
-            import jax
-            w7 = _Conv1Weights(name="conv1")()      # param path conv1/kernel
+        import jax
+        w7 = _Conv1Weights(name="conv1")()          # param path conv1/kernel
+        if x.ndim == 4 and x.shape[1] == 12:
+            # s2d planar stem: 16 contiguous tap slices + one [192, 64] matmul
+            B, K, Ho, Wo = x.shape
+            w4 = conv1_w4(w7).astype(self.dtype)
+            sp = jnp.pad(x.astype(self.dtype), ((0, 0), (0, 0), (2, 1), (2, 1)))
+            taps = jnp.concatenate(
+                [sp[:, :, dh:dh + Ho, dw:dw + Wo]
+                 for dh in range(4) for dw in range(4)], axis=1)
+            patches = taps.reshape(B, 16 * K, Ho * Wo)
+            out = jnp.einsum("ko,bkn->bon", w4, patches,
+                             preferred_element_type=self.dtype)
+            out = out.reshape(B, 64, Ho, Wo)
+            out = nn.relu(FrozenBatchNorm(name="bn_conv1", channel_axis=1)(out))
+            out = jax.lax.reduce_window(
+                out, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
+                ((0, 0), (0, 0), (1, 1), (1, 1)))
+            x = out.transpose(0, 2, 3, 1)           # NHWC [B, H/4, W/4, 64]
+        else:
             xp = jnp.pad(x.astype(self.dtype), ((0, 0), (0, 0), (0, 0), (0, 5)))
             w7p = jnp.pad(w7, ((0, 0), (0, 0), (0, 5), (0, 0))).astype(self.dtype)
             x = jax.lax.conv_general_dilated(
                 xp, w7p, (2, 2), ((3, 3), (3, 3)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=self.dtype)
-        else:
-            x = _conv("conv1", 64, 7, 2, dtype=self.dtype)(x)
-        x = nn.relu(FrozenBatchNorm(name="bn_conv1")(x))
-        # MXNet pool1: 3x3/2, pad 1 -> ceil-mode padding handled by SAME-ish pad
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+            x = nn.relu(FrozenBatchNorm(name="bn_conv1")(x))
+            # MXNet pool1: 3x3/2, pad 1 -> ceil-mode padding via explicit pad
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         outs = {}
         plan = {2: (3, 64, 256, 1), 3: (4, 128, 512, 2), 4: (23, 256, 1024, 2)}

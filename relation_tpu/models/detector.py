@@ -169,6 +169,13 @@ class _TinyTrunk(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if x.ndim == 4 and x.shape[1] == 12:
+            # accept the s2d planar input layout (see ResNet101C4); undo it —
+            # this trunk only runs on CPU in tests, layout cost is irrelevant
+            B, K, Ho, Wo = x.shape
+            x = (x.reshape(B, 2, 2, 3, Ho, Wo)
+                 .transpose(0, 4, 1, 5, 2, 3)
+                 .reshape(B, 2 * Ho, 2 * Wo, 3))
         for i in range(4):
             x = nn.Conv(32, (3, 3), strides=(2, 2), dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"tiny{i}")(x)

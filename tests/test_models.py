@@ -121,3 +121,34 @@ def test_detector_tiny_forward(rng):
     assert out["cls_score"].shape == (n_rois, 5)
     assert out["bbox_pred"].shape == (n_rois, 8)
     assert out["nms_multi_score"].shape == (8, 4, 3)
+
+
+def test_s2d_stem_matches_nhwc_stem(rng):
+    """The space-to-depth planar stem must match the NHWC 7x7 stem exactly
+    (same conv1/bn_conv1 params, f32): conv1 -> bn -> relu -> maxpool -> res2a..
+    Dispatch is static on input shape (models/backbone.py::ResNet101C4)."""
+    from relation_tpu.models.backbone import ResNet101C4, image_to_s2d_planar
+
+    model = ResNet101C4(dtype=jnp.float32, out_stages=(2,))
+    img = rng.randn(32, 64, 3).astype(np.float32) * 10
+    x_nhwc = jnp.asarray(img[None])
+    x_s2d = jnp.asarray(image_to_s2d_planar(img)[None])
+    params = model.init(jax.random.PRNGKey(0), x_nhwc)["params"]
+
+    a = model.apply({"params": params}, x_nhwc)[2]
+    b = model.apply({"params": params}, x_s2d)[2]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_to_s2d_planar_roundtrip(rng):
+    from relation_tpu.data.image import to_s2d_planar
+    img = rng.randn(8, 12, 3).astype(np.float32)
+    s2d = to_s2d_planar(img)
+    assert s2d.shape == (12, 4, 6)
+    # channel order (pi, pj, c): block (pi, pj) holds img[pi::2, pj::2, c]
+    for pi in range(2):
+        for pj in range(2):
+            for c in range(3):
+                np.testing.assert_array_equal(s2d[pi * 6 + pj * 3 + c],
+                                              img[pi::2, pj::2, c])
