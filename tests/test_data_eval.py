@@ -131,7 +131,14 @@ def test_train_loader_batches(coco_json, rng):
     batches = list(loader)
     assert len(batches) == len(roidb) // 2
     b = batches[0]
-    assert b["image"].shape[0] == 2 and b["image"].shape[3] == 3
+    # default batch layout is s2d planar [B, 12, H/2, W/2] (TPU-first input)
+    assert b["image"].shape[0] == 2 and b["image"].shape[1] == 12
+
+    cfg.TPU.S2D_INPUT = False
+    b_nhwc = next(iter(TrainLoader(roidb, cfg, batch_size=2,
+                                   image_loader=fake_loader)))
+    assert b_nhwc["image"].shape[3] == 3
+    cfg.TPU.S2D_INPUT = True
     assert b["gt_boxes"].shape == (2, 8, 5)
     assert b["gt_valid"].any()
     # gt classes in range

@@ -163,3 +163,31 @@ def test_greedy_nms_early_exit_exact(rng):
     kept_early = [i for i in order if early[i]][:10]
     assert kept_full == kept_early
     assert early.sum() >= 10 or early.sum() == full.sum()
+
+
+def test_classwise_nms_pallas_matches_vmap(rng):
+    """The batched Pallas classwise path (interpret mode) agrees with the
+    vmapped XLA path on the top-max_keep kept set per class."""
+    from relation_tpu.ops.nms import _classwise_nms_pallas, classwise_nms
+
+    C, n, cap = 4, 96, 6
+    centers = rng.uniform(40, 400, (10, 2))
+    pick = rng.randint(0, 10, (C, n))
+    cxy = centers[pick] + rng.uniform(-12, 12, (C, n, 2))
+    wh = rng.uniform(15, 70, (C, n, 2))
+    boxes = jnp.asarray(np.concatenate([cxy - wh / 2, cxy + wh / 2], -1)
+                        .astype(np.float32))
+    scores = jnp.asarray(rng.uniform(0, 1, (C, n)).astype(np.float32))
+    valid = jnp.asarray(rng.uniform(0, 1, (C, n)) > 0.1)
+    vm = valid & (scores > 1e-3)
+
+    ref = np.asarray(classwise_nms(boxes, scores, 0.5, 1e-3, valid,
+                                   max_keep=cap))
+    got = np.asarray(_classwise_nms_pallas(boxes, scores, vm, 0.5, cap,
+                                           interpret=True))
+    sc = np.asarray(scores)
+    for c in range(C):
+        order = np.argsort(-sc[c], kind="stable")
+        a = [i for i in order if ref[c, i]][:cap]
+        b = [i for i in order if got[c, i]][:cap]
+        assert a == b, c

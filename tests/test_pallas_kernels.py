@@ -70,3 +70,76 @@ def test_fused_nms_attention_gradients(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
                                    atol=1e-3)
+
+
+def _nms_oracle(boxes, scores, thresh, valid):
+    """Host greedy NMS, reference semantics (lib/nms/nms.py:45-83)."""
+    order = np.argsort(-np.where(valid, scores, -1e10), kind="stable")
+    keep = np.zeros(len(boxes), bool)
+    areas = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
+    for i in order:
+        if not valid[i]:
+            continue
+        ok = True
+        for j in np.where(keep)[0]:
+            ix1 = max(boxes[i, 0], boxes[j, 0]); iy1 = max(boxes[i, 1], boxes[j, 1])
+            ix2 = min(boxes[i, 2], boxes[j, 2]); iy2 = min(boxes[i, 3], boxes[j, 3])
+            iw = max(ix2 - ix1 + 1, 0); ih = max(iy2 - iy1 + 1, 0)
+            iou = iw * ih / (areas[i] + areas[j] - iw * ih)
+            if iou > thresh:
+                ok = False
+                break
+        keep[i] = ok
+    return keep
+
+
+def test_pallas_nms_kernel_matches_oracle(rng):
+    """nms_keep_sorted (interpret mode) == host greedy NMS, incl. valid masking
+    and batching over classes."""
+    from relation_tpu.ops.pallas.nms_kernel import nms_keep_sorted
+
+    C, n, T = 3, 128, 128
+    centers = rng.uniform(40, 400, (12, 2))
+    keeps, boxesT, valids, orders = [], [], [], []
+    for c in range(C):
+        pick = rng.randint(0, 12, n)
+        cxy = centers[pick] + rng.uniform(-12, 12, (n, 2))
+        wh = rng.uniform(15, 70, (n, 2))
+        boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], 1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        valid = rng.uniform(0, 1, n) > 0.1
+        keeps.append(_nms_oracle(boxes, scores, 0.5, valid))
+        order = np.argsort(-np.where(valid, scores, -1e10), kind="stable")
+        boxesT.append(boxes[order].T)
+        valids.append(valid[order].astype(np.float32))
+        orders.append(order)
+    keep_f = np.asarray(nms_keep_sorted(
+        jnp.asarray(np.stack(boxesT)), jnp.asarray(np.stack(valids)),
+        thresh=0.5, block=T, interpret=True))
+    for c in range(C):
+        got = np.zeros(n, bool)
+        got[orders[c]] = keep_f[c] > 0.5
+        np.testing.assert_array_equal(got, keeps[c])
+
+
+def test_pallas_nms_kernel_max_keep(rng):
+    """Early exit keeps the top-max_keep kept set exact."""
+    from relation_tpu.ops.pallas.nms_kernel import nms_keep_sorted
+
+    n, T = 256, 128
+    centers = rng.uniform(50, 450, (25, 2))
+    pick = rng.randint(0, 25, n)
+    cxy = centers[pick] + rng.uniform(-15, 15, (n, 2))
+    wh = rng.uniform(20, 80, (n, 2))
+    boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], 1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    order = np.argsort(-scores, kind="stable")
+    bT = jnp.asarray(boxes[order].T[None])
+    vf = jnp.ones((1, n), jnp.float32)
+    full = np.asarray(nms_keep_sorted(bT, vf, thresh=0.5, block=T,
+                                      interpret=True))[0] > 0.5
+    early = np.asarray(nms_keep_sorted(bT, vf, thresh=0.5, block=T, max_keep=8,
+                                       interpret=True))[0] > 0.5
+    kept_full = np.where(full)[0][:8]
+    kept_early = np.where(early)[0][:8]
+    np.testing.assert_array_equal(kept_full, kept_early)
