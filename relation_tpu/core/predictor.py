@@ -89,11 +89,9 @@ def make_predict_fn(model: RelationRCNN, cfg, feat_hw: tuple[int, int]):
         else:
             feat, rpn_cls, rpn_bbox = model.apply(
                 {"params": params}, image, method=RelationRCNN.features_and_rpn)
-            fh, fw = rpn_cls.shape[0], rpn_cls.shape[1]
-            anchors = shift_anchors(base_anchors, fh, fw, stride)
             fg_prob = jax.nn.softmax(rpn_cls, axis=-1)[..., 1]
             rois, roi_scores, roi_real = generate_proposals(
-                fg_prob, rpn_bbox, anchors, im_info, stride,
+                fg_prob, rpn_bbox, base_anchors, im_info, stride,
                 int(cfg.TEST.RPN_PRE_NMS_TOP_N), int(cfg.TEST.RPN_POST_NMS_TOP_N),
                 float(cfg.TEST.RPN_NMS_THRESH), float(cfg.TEST.RPN_MIN_SIZE))
 

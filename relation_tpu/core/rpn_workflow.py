@@ -59,11 +59,9 @@ def generate_rpn_proposals(model, params, cfg, roidb, out_path: str,
         feat, rpn_cls, rpn_bbox = model.apply(
             {"params": params}, image, method=type(model).features_and_rpn)
         import jax.nn
-        fh, fw = rpn_cls.shape[0], rpn_cls.shape[1]
-        anchors = shift_anchors(base_anchors, fh, fw, stride)
         fg = jax.nn.softmax(rpn_cls, axis=-1)[..., 1]
         return generate_proposals(
-            fg, rpn_bbox, anchors, im_info, stride,
+            fg, rpn_bbox, base_anchors, im_info, stride,
             int(cfg.TEST.PROPOSAL_PRE_NMS_TOP_N),
             int(cfg.TEST.PROPOSAL_POST_NMS_TOP_N),
             float(cfg.TEST.PROPOSAL_NMS_THRESH),

@@ -201,7 +201,7 @@ def make_train_step(model: RelationRCNN, cfg, feat_hw: tuple[int, int],
                 jax.lax.stop_gradient(fg_prob.reshape(
                     rpn_cls.shape[0], rpn_cls.shape[1], -1)),
                 jax.lax.stop_gradient(rpn_bbox),
-                anchors, im_info, stride,
+                base_anchors, im_info, stride,
                 int(cfg.TRAIN.RPN_PRE_NMS_TOP_N), int(cfg.TRAIN.RPN_POST_NMS_TOP_N),
                 float(cfg.TRAIN.RPN_NMS_THRESH), float(cfg.TRAIN.RPN_MIN_SIZE))
 

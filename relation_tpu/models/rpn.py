@@ -50,14 +50,14 @@ class RPNHead(nn.Module):
 
 
 def generate_proposals(fg_prob: jnp.ndarray, deltas: jnp.ndarray,
-                       anchors: jnp.ndarray, im_info: jnp.ndarray,
+                       base_anchors: jnp.ndarray, im_info: jnp.ndarray,
                        feat_stride: int, pre_nms_top_n: int, post_nms_top_n: int,
                        nms_thresh: float, min_size: float):
     """Decode + NMS one image's RPN output into post_nms_top_n rois.
 
     fg_prob: [H, W, A] foreground probabilities; deltas: [H, W, A, 4];
-    anchors: [H*W*A, 4] grid from shift_anchors; im_info: [3] (h, w, scale) of the
-    *unpadded* image inside the fixed bucket.
+    base_anchors: [A, 4] from ops.anchors.generate_anchors; im_info: [3]
+    (h, w, scale) of the *unpadded* image inside the fixed bucket.
 
     Returns (rois [post_N, 4], scores [post_N], real_mask [post_N]).
 
@@ -65,28 +65,61 @@ def generate_proposals(fg_prob: jnp.ndarray, deltas: jnp.ndarray,
     score masks: anchors on padded feature cells (the reference crops the map at
     int(im/stride), proposal.py:85+115) and boxes under min_size (proposal.py:134)
     are pushed to -inf score instead of being dropped.
+
+    TPU layout note: the decode runs entirely on dense [N] coordinate vectors in
+    (a, h, w) flatten order — an [N, 4] tensor is lane-padded 4->128 on TPU
+    (37 MB at N=73728), and the previous formulation that materialized the full
+    decoded [N, 4] grid spent ~0.7 ms/image on that padding traffic. The anchor
+    grid is likewise built as broadcasted [A, H, W] planes instead of the
+    [N, 4] shift_anchors grid. Only the top-pre_nms_top_n boxes are ever
+    assembled as [k, 4]. (The (a, h, w) order differs from the reference's
+    (h, w, a) only in tie-breaking among exactly-equal scores.)
     """
     H, W, A = fg_prob.shape
-    scores = fg_prob.reshape(-1)
-    deltas = deltas.reshape(-1, 4)
+    scores = fg_prob.transpose(2, 0, 1).reshape(-1)            # (a, h, w)
+    d = deltas.transpose(2, 3, 0, 1)                           # [A, 4, H, W]
+    dx = d[:, 0].reshape(-1)
+    dy = d[:, 1].reshape(-1)
+    dw = d[:, 2].reshape(-1)
+    dh = d[:, 3].reshape(-1)
 
-    proposals = bbox_pred(anchors, deltas)
-    proposals = clip_boxes(proposals, (im_info[0], im_info[1]))
+    # anchor grid as dense [A, H, W] planes (broadcast, never [N, 4])
+    sx = jnp.arange(W, dtype=jnp.float32)[None, None, :] * feat_stride
+    sy = jnp.arange(H, dtype=jnp.float32)[None, :, None] * feat_stride
+    zero = jnp.zeros((A, H, W), jnp.float32)
+    ax1 = (base_anchors[:, 0][:, None, None] + sx + zero).reshape(-1)
+    ay1 = (base_anchors[:, 1][:, None, None] + sy + zero).reshape(-1)
+    ax2 = (base_anchors[:, 2][:, None, None] + sx + zero).reshape(-1)
+    ay2 = (base_anchors[:, 3][:, None, None] + sy + zero).reshape(-1)
 
-    # mask: feature cells within the valid (unpadded) region
+    # decode (nonlinear_pred semantics, lib/bbox/bbox_transform.py:103-140)
+    aw = ax2 - ax1 + 1.0
+    ah = ay2 - ay1 + 1.0
+    acx = ax1 + 0.5 * (aw - 1.0)
+    acy = ay1 + 0.5 * (ah - 1.0)
+    pcx = dx * aw + acx
+    pcy = dy * ah + acy
+    pw = jnp.exp(dw) * aw
+    ph = jnp.exp(dh) * ah
+    x1 = jnp.clip(pcx - 0.5 * (pw - 1.0), 0, im_info[1] - 1)
+    y1 = jnp.clip(pcy - 0.5 * (ph - 1.0), 0, im_info[0] - 1)
+    x2 = jnp.clip(pcx + 0.5 * (pw - 1.0), 0, im_info[1] - 1)
+    y2 = jnp.clip(pcy + 0.5 * (ph - 1.0), 0, im_info[0] - 1)
+
+    # masks: feature cells within the valid (unpadded) region; min-size filter
     valid_h = jnp.floor(im_info[0] / feat_stride).astype(jnp.int32)
     valid_w = jnp.floor(im_info[1] / feat_stride).astype(jnp.int32)
-    cell_ok = ((jnp.arange(H)[:, None] < valid_h) &
-               (jnp.arange(W)[None, :] < valid_w))
-    cell_ok = jnp.broadcast_to(cell_ok[:, :, None], (H, W, A)).reshape(-1)
-
-    size_ok = filter_boxes_mask(proposals, min_size * im_info[2])
-    ok = cell_ok & size_ok
-    masked = jnp.where(ok, scores, _NEG_INF)
+    cell_ok = ((jnp.arange(H)[None, :, None] < valid_h) &
+               (jnp.arange(W)[None, None, :] < valid_w))
+    cell_ok = jnp.broadcast_to(cell_ok, (A, H, W)).reshape(-1)
+    ms = min_size * im_info[2]
+    size_ok = ((x2 - x1 + 1.0) >= ms) & ((y2 - y1 + 1.0) >= ms)
+    masked = jnp.where(cell_ok & size_ok, scores, _NEG_INF)
 
     k = min(pre_nms_top_n, masked.shape[0])
     top_scores, top_idx = jax.lax.top_k(masked, k)
-    top_boxes = proposals[top_idx]
+    top_boxes = jnp.stack([x1[top_idx], y1[top_idx],
+                           x2[top_idx], y2[top_idx]], axis=1)  # [k, 4]
     top_valid = top_scores > _NEG_INF / 2
 
     keep_idx, real = greedy_nms_topk(top_boxes, top_scores, nms_thresh,

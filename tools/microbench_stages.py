@@ -44,12 +44,10 @@ def main():
     feat, rpn_cls, rpn_bbox = jax.jit(lambda im: model.apply(
         {"params": params}, im, method=RelationRCNN.features_and_rpn))(image)
     fh, fw = rpn_cls.shape[0], rpn_cls.shape[1]
-    anchors = shift_anchors(base_anchors, fh, fw, stride)
-
     def proposals(rpn_cls):
         fg_prob = jax.nn.softmax(rpn_cls, axis=-1)[..., 1]
         rois, s, r = generate_proposals(
-            fg_prob, rpn_bbox, anchors, im_info, stride,
+            fg_prob, rpn_bbox, base_anchors, im_info, stride,
             int(cfg.TEST.RPN_PRE_NMS_TOP_N), int(cfg.TEST.RPN_POST_NMS_TOP_N),
             float(cfg.TEST.RPN_NMS_THRESH), float(cfg.TEST.RPN_MIN_SIZE))
         return rois
@@ -80,13 +78,6 @@ def main():
     t_lnms = timeit_us(lnms, cls_score, n=30)
     print(f"learned nms       {t_lnms:8.1f} us")
 
-    predict = make_predict_fn(model, cfg, (fh, fw))
-
-    def full(image):
-        return predict(params, image, im_info)["dets"]
-
-    t_full = timeit_us(full, image, n=30)
-    print(f"full pipeline     {t_full:8.1f} us")
     print(f"sum of stages     {t_bb + t_prop + t_head + t_lnms:8.1f} us")
 
 
