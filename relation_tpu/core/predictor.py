@@ -101,7 +101,8 @@ def make_predict_fn(model: RelationRCNN, cfg, feat_hw: tuple[int, int]):
 
         if learn_nms:
             ln = model.apply({"params": params}, cls_score, bbox_deltas, rois, fc2,
-                             im_info, method=type(model).learn_nms)
+                             im_info, float(cfg.TEST.LEARN_NMS_CLASS_SCORE_TH),
+                             method=type(model).learn_nms)
             final = merge_multi_score(ln["nms_multi_score"], merge_method)  # [F, C]
             boxes = ln["sorted_bbox"] / im_info[2]                          # [F, C, 4]
             F, C = final.shape

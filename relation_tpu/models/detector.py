@@ -148,8 +148,10 @@ class RelationRCNN(nn.Module):
         return (self.cls_score(fc_all_2_relu), self.bbox_pred(fc_all_2_relu),
                 fc_all_2_relu)
 
-    def learn_nms(self, cls_score, bbox_pred, rois, roi_feat, im_info):
-        return self.learn_nms_head(cls_score, bbox_pred, rois, roi_feat, im_info)
+    def learn_nms(self, cls_score, bbox_pred, rois, roi_feat, im_info,
+                  class_thresh: float = 0.0):
+        return self.learn_nms_head(cls_score, bbox_pred, rois, roi_feat, im_info,
+                                   class_thresh=class_thresh)
 
     def __call__(self, image, rois, im_info, nongt_dim: int):
         """Convenience single-pass forward (inference graph shape-check path)."""

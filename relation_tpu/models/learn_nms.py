@@ -57,7 +57,14 @@ class LearnNMSHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, cls_score, bbox_pred, rois, roi_feat, im_info):
+    def __call__(self, cls_score, bbox_pred, rois, roi_feat, im_info,
+                 class_thresh: float = 0.0):
+        """``class_thresh``: inference-time valid-class filter (reference
+        operator_py/learn_nms.py:296-309 + TEST.LEARN_NMS_CLASS_SCORE_TH=0.01):
+        classes whose best score falls below min(class_thresh, global best)
+        get conditional score 0 — exactly the reference's restore-with-zeros
+        layout (learn_nms.py:366-377). 0.0 (training / default) disables it;
+        the reference train graph computes every class."""
         C = self.num_fg_classes
         F = self.first_n
 
@@ -110,6 +117,11 @@ class LearnNMSHead(nn.Module):
                          kernel_init=_norm_init,
                          bias_init=nn.initializers.constant(-3.0))(feat)
         conditional = jax.nn.sigmoid(logit)                       # [F, C, T]
+        if class_thresh > 0.0:
+            max_per_class = sorted_score.max(axis=0)              # [C]
+            thr = jnp.minimum(class_thresh, max_per_class.max())
+            active = (max_per_class >= thr).astype(conditional.dtype)
+            conditional = conditional * active[None, :, None]
         nms_multi_score = sorted_score[..., None] * conditional
 
         return {

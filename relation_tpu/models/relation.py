@@ -148,7 +148,10 @@ class NMSRelationModule(nn.Module):
             y = fused_nms_relation_attention(position_mat_t, q, k, feat, wg, bg,
                                              wl)
         else:
-            # fused Pallas geometric bias + XLA attention (fastest measured mix)
+            # fused Pallas geometric bias + XLA attention: the fastest measured
+            # mix at C=80, N=100 (707 us vs 810 us for the per-class Pallas
+            # attention kernel ops/pallas/nms_attention.py::fused_bias_attention
+            # — XLA's big batched einsums beat 80 sequential grid programs)
             from relation_tpu.ops.pallas.geom_bias import fused_geometric_bias
             bias = fused_geometric_bias(position_mat_t, wg, bg)  # [C, g, N, N]
             qg = q.reshape(c, n, g, dqk)

@@ -155,3 +155,102 @@ def _bwd(scale, res, g):
 
 
 fused_nms_relation_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Two-stage fast path: geometric bias from ops/pallas/geom_bias.py (MXU
+# contraction over the flat [64, N*N] trig matrix), then this kernel for the
+# attention itself. The XLA formulation of the attention shuttles ~6 copies of
+# the [C, G, N, N] f32 tensor (51 MB at the flagship shape) through HBM for
+# aff/softmax/av; here each class's working set stays in VMEM and HBM sees the
+# bias exactly once.
+# ---------------------------------------------------------------------------
+
+
+def _bias_attention_kernel(bias_ref, q_ref, k_ref, v_ref, wl_ref, out_ref, *,
+                           groups, dqk):
+    """Blocks (one class): bias [1, G, N, N]; q,k [1, N, G*dqk]; v [1, N, F];
+    wl [G*F, E]; out [1, N, G*E]."""
+    G = groups
+    F = v_ref.shape[2]
+    E = out_ref.shape[2] // G
+    v = v_ref[0]
+    inv_sqrt = 1.0 / float(np.sqrt(dqk))
+    cols = []
+    for g in range(G):
+        qg = q_ref[0, :, g * dqk:(g + 1) * dqk]               # [N, dqk]
+        kg = k_ref[0, :, g * dqk:(g + 1) * dqk]
+        aff = jax.lax.dot_general(
+            qg, kg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * inv_sqrt    # [N, N]
+        w = aff + bias_ref[0, g]
+        w = w - jnp.max(w, axis=-1, keepdims=True)
+        e = jnp.exp(w)
+        attn = e / jnp.sum(e, axis=-1, keepdims=True)
+        av = jnp.dot(attn, v, preferred_element_type=jnp.float32)   # [N, F]
+        cols.append(jnp.dot(av, wl_ref[g * F:(g + 1) * F, :],
+                            preferred_element_type=jnp.float32))    # [N, E]
+    out_ref[0] = jnp.concatenate(cols, axis=1)                # [N, G*E]
+
+
+def bias_attention_reference(bias, q, k, v, wl):
+    """jnp reference. bias [C,G,N,N]; q,k [C,N,G*dqk]; v [C,N,F]; wl [G,F,E]
+    -> [C, N, G*E] (head-major output channels)."""
+    C, N = q.shape[0], q.shape[1]
+    G = bias.shape[1]
+    dqk = q.shape[2] // G
+    qg = q.reshape(C, N, G, dqk)
+    kg = k.reshape(C, N, G, dqk)
+    aff = jnp.einsum("cigd,cjgd->cgij", qg, kg) / np.sqrt(dqk)
+    attn = jax.nn.softmax(aff + bias, axis=-1)
+    av = jnp.einsum("cgij,cjf->cgif", attn, v)
+    y = jnp.einsum("cgif,gfe->cige", av, wl)
+    return y.reshape(C, N, -1)
+
+
+def _bias_attention_impl(bias, q, k, v, wl, interpret):
+    C, _, N, _ = bias.shape
+    G = bias.shape[1]
+    dqk = q.shape[2] // G
+    F = v.shape[2]
+    E = wl.shape[2]
+    return pl.pallas_call(
+        functools.partial(_bias_attention_kernel, groups=G, dqk=dqk),
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((1, G, N, N), lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, G * dqk), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, G * dqk), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, F), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * F, E), lambda c: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, G * E), lambda c: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, N, G * E), jnp.float32),
+        interpret=interpret,
+    )(bias, q, k, v, wl.reshape(G * F, E))
+
+
+@jax.custom_vjp
+def fused_bias_attention(bias, q, k, v, wl):
+    """Attention with a precomputed additive [C, G, N, N] bias, fused per class.
+    Returns [C, N, G*E] (head-major output channels, grouped linear_out layout,
+    reference symbols/..._learn_nms.py:219-238)."""
+    interpret = jax.devices()[0].platform == "cpu"
+    return _bias_attention_impl(bias, q, k, v, wl, interpret)
+
+
+def _ba_fwd(bias, q, k, v, wl):
+    return fused_bias_attention(bias, q, k, v, wl), (bias, q, k, v, wl)
+
+
+def _ba_bwd(res, g):
+    _, vjp = jax.vjp(bias_attention_reference, *res)
+    return vjp(g)
+
+
+fused_bias_attention.defvjp(_ba_fwd, _ba_bwd)

@@ -152,3 +152,34 @@ def test_to_s2d_planar_roundtrip(rng):
             for c in range(3):
                 np.testing.assert_array_equal(s2d[pi * 6 + pj * 3 + c],
                                               img[pi::2, pj::2, c])
+
+
+def test_learn_nms_class_thresh_zeroes_inactive(rng):
+    """Inference-time valid-class filter (reference learn_nms.py:296-309 +
+    TEST.LEARN_NMS_CLASS_SCORE_TH): classes whose best sorted score is below
+    min(thresh, global best) get conditional score exactly 0; active classes
+    are untouched; training mode (thresh=0) computes every class."""
+    C, F, T, N = 4, 6, 3, 16
+    head = LearnNMSHead(num_fg_classes=C, first_n=F, num_thresh=T,
+                        class_agnostic=True)
+    cls_score = jnp.asarray(rng.randn(N, C + 1).astype(np.float32) * 2)
+    bbox = jnp.asarray(rng.randn(N, 8).astype(np.float32) * 0.1)
+    rois = jnp.asarray(np.abs(rng.randn(N, 4)).astype(np.float32) * 50)
+    rois = rois.at[:, 2:].set(rois[:, 2:] + rois[:, :2] + 10)
+    feat = jnp.asarray(rng.randn(N, 32).astype(np.float32))
+    im_info = jnp.asarray([200.0, 300.0, 1.0])
+    params = head.init(jax.random.PRNGKey(0), cls_score, bbox, rois, feat,
+                       im_info)["params"]
+
+    out0 = head.apply({"params": params}, cls_score, bbox, rois, feat, im_info)
+    thresh = 0.3
+    out1 = head.apply({"params": params}, cls_score, bbox, rois, feat, im_info,
+                      class_thresh=thresh)
+    mx = np.asarray(out0["sorted_score"]).max(axis=0)
+    thr = min(thresh, mx.max())
+    active = mx >= thr
+    assert active.any()
+    c0 = np.asarray(out0["nms_conditional_score"])
+    c1 = np.asarray(out1["nms_conditional_score"])
+    np.testing.assert_array_equal(c1[:, ~active], 0.0)
+    np.testing.assert_allclose(c1[:, active], c0[:, active], rtol=1e-6)

@@ -143,3 +143,37 @@ def test_pallas_nms_kernel_max_keep(rng):
     kept_full = np.where(full)[0][:8]
     kept_early = np.where(early)[0][:8]
     np.testing.assert_array_equal(kept_full, kept_early)
+
+
+def test_fused_bias_attention_matches_reference(rng):
+    from relation_tpu.ops.pallas.nms_attention import (
+        fused_bias_attention, bias_attention_reference)
+
+    C, N, G, dqk, F, E = 3, 24, 4, 8, 16, 4
+    bias = jnp.asarray(rng.randn(C, G, N, N).astype(np.float32))
+    q = jnp.asarray(rng.randn(C, N, G * dqk).astype(np.float32) * 0.2)
+    k = jnp.asarray(rng.randn(C, N, G * dqk).astype(np.float32) * 0.2)
+    v = jnp.asarray(rng.randn(C, N, F).astype(np.float32) * 0.5)
+    wl = jnp.asarray(rng.randn(G, F, E).astype(np.float32) * 0.1)
+    got = np.asarray(fused_bias_attention(bias, q, k, v, wl))
+    ref = np.asarray(bias_attention_reference(bias, q, k, v, wl))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_bias_attention_gradients(rng):
+    from relation_tpu.ops.pallas.nms_attention import (
+        fused_bias_attention, bias_attention_reference)
+
+    C, N, G, dqk, F, E = 2, 8, 2, 4, 8, 4
+    args = (jnp.asarray(rng.randn(C, G, N, N).astype(np.float32) * 0.3),
+            jnp.asarray(rng.randn(C, N, G * dqk).astype(np.float32) * 0.2),
+            jnp.asarray(rng.randn(C, N, G * dqk).astype(np.float32) * 0.2),
+            jnp.asarray(rng.randn(C, N, F).astype(np.float32) * 0.5),
+            jnp.asarray(rng.randn(G, F, E).astype(np.float32) * 0.1))
+    g1 = jax.grad(lambda *a: jnp.sum(jnp.tanh(fused_bias_attention(*a))),
+                  argnums=(0, 1, 2, 3, 4))(*args)
+    g2 = jax.grad(lambda *a: jnp.sum(jnp.tanh(bias_attention_reference(*a))),
+                  argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
