@@ -66,7 +66,7 @@ def main():
 
     rt_ms = _round_trip_ms()
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         _ = np.asarray(jfn(params, image, im_info, n_iter))
         best = min(best, (time.perf_counter() - t0) * 1e3)

@@ -37,14 +37,19 @@ class FrozenBatchNorm(nn.Module):
     channel_axis: int = -1
 
     @nn.compact
-    def __call__(self, x):
-        c = x.shape[self.channel_axis]
+    def __call__(self, x, channels: int | None = None):
+        """Apply to ``x``; or, with ``x=None`` and ``channels`` given, return
+        the folded per-channel (scale, bias) for use inside a fused kernel.
+        The parameters are identical either way."""
+        c = x.shape[self.channel_axis] if x is not None else int(channels)
         gamma = self.param("gamma", nn.initializers.ones, (c,))
         beta = self.param("beta", nn.initializers.zeros, (c,))
         mean = self.param("moving_mean", nn.initializers.zeros, (c,))
         var = self.param("moving_var", nn.initializers.ones, (c,))
         scale = gamma / jnp.sqrt(var + self.eps)
         bias = beta - mean * scale
+        if x is None:
+            return scale, bias
         shape = [1] * x.ndim
         shape[self.channel_axis] = c
         return (x * scale.astype(x.dtype).reshape(shape)
@@ -158,18 +163,31 @@ class ResNet101C4(nn.Module):
         import jax
         w7 = _Conv1Weights(name="conv1")()          # param path conv1/kernel
         if x.ndim == 4 and x.shape[1] == 12:
-            # s2d planar stem: 16 contiguous tap slices + one [192, 64] matmul
             B, K, Ho, Wo = x.shape
-            w4 = conv1_w4(w7).astype(self.dtype)
-            sp = jnp.pad(x.astype(self.dtype), ((0, 0), (0, 0), (2, 1), (2, 1)))
-            taps = jnp.concatenate(
-                [sp[:, :, dh:dh + Ho, dw:dw + Wo]
-                 for dh in range(4) for dw in range(4)], axis=1)
-            patches = taps.reshape(B, 16 * K, Ho * Wo)
-            out = jnp.einsum("ko,bkn->bon", w4, patches,
-                             preferred_element_type=self.dtype)
-            out = out.reshape(B, 64, Ho, Wo)
-            out = nn.relu(FrozenBatchNorm(name="bn_conv1", channel_axis=1)(out))
+            bn = FrozenBatchNorm(name="bn_conv1", channel_axis=1)
+            use_kernel = (jax.default_backend() != "cpu"
+                          and Ho % 16 == 0 and Wo % 128 == 0 and B == 1)
+            if use_kernel:
+                # fused Pallas stem: im2col patches assembled in VMEM,
+                # one MXU matmul, bn+relu in the epilogue
+                from relation_tpu.ops.pallas.stem import stem_conv1_bn_relu
+                w4 = conv1_w4(w7)
+                scale, bias = bn(None, channels=64)
+                out = stem_conv1_bn_relu(x[0], w4, scale, bias)[None]
+                out = out.astype(self.dtype)
+            else:
+                # XLA path: 16 contiguous tap slices + one [192, 64] matmul
+                w4 = conv1_w4(w7).astype(self.dtype)
+                sp = jnp.pad(x.astype(self.dtype),
+                             ((0, 0), (0, 0), (2, 1), (2, 1)))
+                taps = jnp.concatenate(
+                    [sp[:, :, dh:dh + Ho, dw:dw + Wo]
+                     for dh in range(4) for dw in range(4)], axis=1)
+                patches = taps.reshape(B, 16 * K, Ho * Wo)
+                out = jnp.einsum("ko,bkn->bon", w4, patches,
+                                 preferred_element_type=self.dtype)
+                out = out.reshape(B, 64, Ho, Wo)
+                out = nn.relu(bn(out))
             out = jax.lax.reduce_window(
                 out, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
                 ((0, 0), (0, 0), (1, 1), (1, 1)))

@@ -177,3 +177,30 @@ def test_fused_bias_attention_gradients(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_stem_kernel_matches_xla(rng):
+    """Fused Pallas stem (interpret) == plain conv1+bn+relu on the s2d input."""
+    from relation_tpu.ops.pallas.stem import stem_conv1_bn_relu
+    from relation_tpu.models.backbone import conv1_w4, image_to_s2d_planar
+
+    H, W = 32, 64
+    img = rng.randn(H, W, 3).astype(np.float32) * 10
+    w7 = jnp.asarray(rng.randn(7, 7, 3, 64).astype(np.float32) * 0.05)
+    scale = jnp.asarray(rng.uniform(0.5, 2, 64).astype(np.float32))
+    bias = jnp.asarray(rng.randn(64).astype(np.float32))
+
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(img[None]), w7, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)[0]
+    ref = np.maximum(np.asarray(ref) * np.asarray(scale) + np.asarray(bias), 0)
+
+    s2d = jnp.asarray(image_to_s2d_planar(img))
+    got = np.asarray(stem_conv1_bn_relu(s2d, conv1_w4(w7), scale, bias,
+                                        interpret=True), np.float32)
+    got = got.transpose(1, 2, 0)                    # planar -> HWC
+    # kernel computes the matmul in bf16 -> compare at bf16 tolerance
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.5)
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.9999
