@@ -29,6 +29,12 @@ def parse_args():
     p.add_argument("--first-n", type=int, default=0)
     p.add_argument("--test-set", default="")
     p.add_argument("--ignore-cache", action="store_true")
+    p.add_argument("--nms", type=float, default=0.0,
+                   help="override TEST.NMS threshold")
+    p.add_argument("--merge", type=int, default=-10,
+                   help="override TEST.MERGE_METHOD (-1 mean, -2 max, >=0 index)")
+    p.add_argument("--vis", action="store_true",
+                   help="write detection renderings next to the cache")
     p.add_argument("--dataset-path", default="",
                    help="override cfg.dataset.dataset_path")
     return p.parse_args()
@@ -56,6 +62,11 @@ def main():
         cfg.dataset.test_image_set = args.test_set
     if args.dataset_path:
         cfg.dataset.dataset_path = args.dataset_path
+    cfg.TEST.SCORE_THRESH = args.thresh
+    if args.nms:
+        cfg.TEST.NMS = args.nms
+    if args.merge != -10:
+        cfg.TEST.MERGE_METHOD = args.merge
 
     cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
     logger, out_path = create_logger(cfg.output_path or "output", cfg_name,
@@ -80,8 +91,26 @@ def main():
         logger.info(f"loaded params: {args.ckpt}")
 
     cache = os.path.join(out_path, "detections.pkl")
-    results, _ = pred_eval(model, params, cfg, dataset, roidb, logger,
-                           cache_path=cache, ignore_cache=args.ignore_cache)
+    results, dets = pred_eval(model, params, cfg, dataset, roidb, logger,
+                              cache_path=cache, ignore_cache=args.ignore_cache)
+    if args.vis:
+        # reference --vis (test.py:32, tester.py vis_all_detection)
+        from relation_tpu.utils.vis import draw_detections
+        from relation_tpu.data.image import load_image_bgr
+        vis_dir = os.path.join(out_path, "vis")
+        os.makedirs(vis_dir, exist_ok=True)
+        names = ["bg"] + list(dataset.class_names)
+        for entry in roidb[:50]:
+            d = dets.get(entry.get("image_id", entry["image"]))
+            if d is None:
+                continue
+            im = load_image_bgr(entry["image"])
+            out = draw_detections(im, d, names, score_thresh=max(args.thresh, 0.3))
+            from PIL import Image
+            Image.fromarray(out[:, :, ::-1].astype(np.uint8)).save(
+                os.path.join(vis_dir,
+                             os.path.basename(str(entry["image"])) + ".png"))
+        logger.info(f"wrote visualizations: {vis_dir}")
     print(results)
 
 

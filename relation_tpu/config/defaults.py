@@ -141,6 +141,9 @@ def default_config() -> AttrDict:
     TEST.max_per_image = 300
     TEST.test_epoch = 0
     TEST.LEARN_NMS_CLASS_SCORE_TH = 0.01
+    # per-detection score floor at eval (the reference test.py --thresh flag,
+    # default 1e-3, reference test.py:31 + tester.py:230)
+    TEST.SCORE_THRESH = 1e-3
 
     # ---- TPU-native extensions (not present in the reference) ----
     TPU = config.TPU = AttrDict()

@@ -64,7 +64,7 @@ def make_predict_fn(model: RelationRCNN, cfg, feat_hw: tuple[int, int]):
     softnms = bool(cfg.TEST.SOFTNMS)
     nms_thresh = float(cfg.TEST.NMS)
     merge_method = int(cfg.TEST.MERGE_METHOD)
-    score_thresh = 1e-3
+    score_thresh = float(cfg.TEST.get("SCORE_THRESH", 1e-3))
     class_agnostic = bool(cfg.CLASS_AGNOSTIC)
     stds = tuple(cfg.TRAIN.BBOX_STDS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None
     means = tuple(cfg.TRAIN.BBOX_MEANS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None
@@ -181,7 +181,7 @@ def make_predict_fn_rcnn(model, cfg):
     softnms = bool(cfg.TEST.SOFTNMS)
     nms_thresh = float(cfg.TEST.NMS)
     merge_method = int(cfg.TEST.MERGE_METHOD)
-    score_thresh = 1e-3
+    score_thresh = float(cfg.TEST.get("SCORE_THRESH", 1e-3))
     class_agnostic = bool(cfg.CLASS_AGNOSTIC)
     stds = tuple(cfg.TRAIN.BBOX_STDS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None
     means = tuple(cfg.TRAIN.BBOX_MEANS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None

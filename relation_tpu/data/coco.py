@@ -40,6 +40,9 @@ class CocoDataset:
         self.cat_to_class = {cid: i + 1 for i, cid in enumerate(cat_ids)}
         self.class_to_cat = {v: k for k, v in self.cat_to_class.items()}
         self.num_classes = len(cat_ids) + 1      # + background
+        names = {c["id"]: c.get("name", str(c["id"]))
+                 for c in data.get("categories", [])}
+        self.class_names = [names.get(cid, str(cid)) for cid in cat_ids]
 
         self.images = {im["id"]: im for im in data["images"]}
         anns_by_image: dict[int, list] = {}

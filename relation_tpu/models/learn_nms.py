@@ -108,20 +108,29 @@ class LearnNMSHead(nn.Module):
 
         nms_embedding_feat = sorted_roi_feat + rank_feat[:, None, :]
 
+        # inference-time valid-class filter (reference learn_nms.py:296-309):
+        # classes below min(class_thresh, global best) skip both attention
+        # kernel stages entirely and get conditional score exactly 0
+        active_f = None
+        if class_thresh > 0.0:
+            max_per_class = sorted_score.max(axis=0)              # [C]
+            thr = jnp.minimum(class_thresh, max_per_class.max())
+            active_f = max_per_class >= thr
+
         attention, _ = NMSRelationModule(index=1, groups=16, dim_qk=1024,
                                          dim_out=128, dtype=self.dtype)(
-            nms_embedding_feat, nms_position_matrix_t)
+            nms_embedding_feat, nms_position_matrix_t,
+            active=None if active_f is None else active_f.astype(jnp.int32))
         feat = nn.relu(nms_embedding_feat + attention)            # [F, C, 128]
 
         logit = nn.Dense(self.num_thresh, name="nms_logit", dtype=self.dtype,
                          kernel_init=_norm_init,
                          bias_init=nn.initializers.constant(-3.0))(feat)
         conditional = jax.nn.sigmoid(logit)                       # [F, C, T]
-        if class_thresh > 0.0:
-            max_per_class = sorted_score.max(axis=0)              # [C]
-            thr = jnp.minimum(class_thresh, max_per_class.max())
-            active = (max_per_class >= thr).astype(conditional.dtype)
-            conditional = conditional * active[None, :, None]
+        if active_f is not None:
+            # where(), not multiply: skipped classes' logits are garbage and
+            # may be NaN — 0 * NaN would poison the scores
+            conditional = jnp.where(active_f[None, :, None], conditional, 0.0)
         nms_multi_score = sorted_score[..., None] * conditional
 
         return {

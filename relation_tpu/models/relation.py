@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -123,7 +124,13 @@ class NMSRelationModule(nn.Module):
                                 # blocks the MXU bias contraction) — off by default
 
     @nn.compact
-    def __call__(self, roi_feat: jnp.ndarray, position_mat_t: jnp.ndarray):
+    def __call__(self, roi_feat: jnp.ndarray, position_mat_t: jnp.ndarray,
+                 active: jnp.ndarray | None = None):
+        """``active``: optional [C] int32 valid-class mask (inference only) —
+        both Pallas stages skip inactive classes entirely (the reference's
+        class_thresh filter shrinks its attention batch the same way,
+        learn_nms.py:296-309). Skipped classes return garbage; the learned-NMS
+        head masks their conditional scores to zero."""
         n, c, f = roi_feat.shape
         g = self.groups
         dqk = self.dim_qk // g
@@ -142,26 +149,51 @@ class NMSRelationModule(nn.Module):
         bl = self.param(f"nms_linear_out_{self.index}_bias",
                         nn.initializers.zeros, (self.dim_out,))
 
-        if self.fully_fused:
+        if active is not None:
+            # runtime choice by active-class count (measured on v5e, C=80,
+            # N=100): the single fused kernel with per-class skip costs
+            # ~14 us/active class (5 active -> 166 us, 20 -> 372 us) but
+            # 1146 us dense, while the geom_bias + XLA-einsum mix is a flat
+            # ~770 us. Typical trained-COCO images have 5-20 classes above
+            # the 0.01 threshold; the cond keeps the dense worst case too.
+            from relation_tpu.ops.pallas.nms_attention import (
+                fused_nms_relation_attention_skip)
+
+            def skip_path(_):
+                return fused_nms_relation_attention_skip(
+                    position_mat_t, q, k, feat, wg, bg, wl, active)
+
+            def dense_path(_):
+                return _dense_attention_impl(position_mat_t, q, k, feat,
+                                             wg, bg, wl, c, n, g, dqk)
+
+            y = jax.lax.cond(jnp.sum(active) <= c // 2, skip_path, dense_path,
+                             None)
+        elif self.fully_fused:
             from relation_tpu.ops.pallas.nms_attention import (
                 fused_nms_relation_attention)
             y = fused_nms_relation_attention(position_mat_t, q, k, feat, wg, bg,
                                              wl)
         else:
             # fused Pallas geometric bias + XLA attention: the fastest measured
-            # mix at C=80, N=100 (707 us vs 810 us for the per-class Pallas
-            # attention kernel ops/pallas/nms_attention.py::fused_bias_attention
-            # — XLA's big batched einsums beat 80 sequential grid programs)
-            from relation_tpu.ops.pallas.geom_bias import fused_geometric_bias
-            bias = fused_geometric_bias(position_mat_t, wg, bg)  # [C, g, N, N]
-            qg = q.reshape(c, n, g, dqk)
-            kg = k.reshape(c, n, g, dqk)
-            aff = jnp.einsum("cigd,cjgd->cgij", qg, kg) / jnp.sqrt(float(dqk))
-            attn = nn.softmax(aff + bias, axis=-1)                # [C, g, N, N]
-            av = jnp.einsum("cgij,cjf->cgif", attn, feat)         # [C, g, N, F]
-            y = jnp.einsum("cgif,gfe->cige", av, wl).reshape(c, n, -1)
+            # dense mix at C=80, N=100 (707 us vs 810 us for the per-class
+            # Pallas attention kernel — XLA's big batched einsums beat 80
+            # sequential grid programs)
+            y = _dense_attention_impl(position_mat_t, q, k, feat, wg, bg, wl,
+                                      c, n, g, dqk)
         y = y + bl                                                 # [C, N, out]
         return jnp.transpose(y, (1, 0, 2)), None                   # [N, C, out]
+
+
+def _dense_attention_impl(position_mat_t, q, k, feat, wg, bg, wl, c, n, g, dqk):
+    from relation_tpu.ops.pallas.geom_bias import fused_geometric_bias
+    bias = fused_geometric_bias(position_mat_t, wg, bg)          # [C, g, N, N]
+    qg = q.reshape(c, n, g, dqk)
+    kg = k.reshape(c, n, g, dqk)
+    aff = jnp.einsum("cigd,cjgd->cgij", qg, kg) / jnp.sqrt(float(dqk))
+    attn = nn.softmax(aff + bias, axis=-1)                        # [C, g, N, N]
+    av = jnp.einsum("cgij,cjf->cgif", attn, feat)                 # [C, g, N, F]
+    return jnp.einsum("cgif,gfe->cige", av, wl).reshape(c, n, -1)
 
 
 class _DenseParams(nn.Module):

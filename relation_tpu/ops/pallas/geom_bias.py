@@ -145,3 +145,50 @@ def _bwd(scale, res, g):
 
 
 fused_geometric_bias.defvjp(_fwd, _bwd)
+
+
+def _bias_kernel_skip(active_ref, pos_ref, w_ref, b_ref, out_ref, *, scale):
+    """Class-skipping variant: program c computes only when active_ref[c] != 0
+    (the reference's inference-time valid-class filter, learn_nms.py:296-309).
+    Inactive classes' output blocks are left unwritten — downstream masks them
+    to zero (learn_nms head multiplies conditional scores by the active mask)."""
+    c = pl.program_id(0)
+
+    @pl.when(active_ref[c] != 0)
+    def _():
+        _bias_kernel(pos_ref, w_ref, b_ref, out_ref, scale=scale)
+
+
+def fused_geometric_bias_skip(pos_t: jnp.ndarray, kernel: jnp.ndarray,
+                              bias: jnp.ndarray, active: jnp.ndarray,
+                              scale: float = 100.0,
+                              interpret: bool | None = None) -> jnp.ndarray:
+    """fused_geometric_bias with per-class skipping: ``active`` [C] int32.
+    Inference-only (no VJP); inactive classes return garbage — mask downstream."""
+    C, four, N, M = pos_t.shape
+    G = kernel.shape[1]
+    nn_dim = N * M
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((1, 4, nn_dim), lambda c, aref: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, G), lambda c, aref: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), lambda c, aref: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G, nn_dim), lambda c, aref: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_bias_kernel_skip, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C, G, nn_dim), jnp.float32),
+        interpret=interpret,
+    )(active.astype(jnp.int32), pos_t.reshape(C, 4, nn_dim), kernel,
+      bias.reshape(1, G))
+    return out.reshape(C, G, N, M)
