@@ -154,6 +154,9 @@ def default_config() -> AttrDict:
     TPU.MAX_GT = 100
     # Compute dtype for conv/matmul heavy paths ("bfloat16" or "float32").
     TPU.COMPUTE_DTYPE = "bfloat16"
+    # Compute dtype for the ROI-head FCs + relation attention matmuls
+    # (softmax / cls_score / bbox_pred always run f32).
+    TPU.HEAD_DTYPE = "bfloat16"
     # Mesh axis name for data parallelism.
     TPU.MESH_DATA_AXIS = "data"
     # Exact on-device greedy NMS: iterate suppression to fixpoint.

@@ -28,7 +28,7 @@ from relation_tpu.models.rpn import generate_proposals
 from relation_tpu.models.learn_nms import merge_multi_score
 from relation_tpu.ops.anchors import generate_anchors, shift_anchors
 from relation_tpu.ops.boxes import bbox_pred, clip_boxes
-from relation_tpu.ops.nms import greedy_nms_mask, soft_nms
+from relation_tpu.ops.nms import classwise_nms, soft_nms
 
 _NEG_INF = -1e10
 
@@ -149,9 +149,11 @@ def make_predict_fn(model: RelationRCNN, cfg, feat_hw: tuple[int, int]):
                 dets = _topk_detections(cls_ids.reshape(-1), ks.reshape(-1),
                                         kb.reshape(-1, 4), kv.reshape(-1), max_det)
             else:
-                keep = jax.vmap(
-                    lambda b, s, v: greedy_nms_mask(b, s, nms_thresh, v)
-                )(boxes_c, scores_t, valid)                                 # [C, N]
+                # batched Pallas kernel (one launch, per-class early exit) —
+                # measured 841 -> 654 us vs vmapped while_loop at C=80, n=300
+                keep = classwise_nms(boxes_c, scores_t, nms_thresh,
+                                     score_thresh, valid=valid,
+                                     max_keep=max_det)                      # [C, N]
                 cls_ids = jnp.broadcast_to(
                     jnp.arange(1, fg_classes + 1)[:, None], keep.shape)
                 dets = _topk_detections(cls_ids.reshape(-1),
@@ -240,10 +242,8 @@ def make_predict_fn_rcnn(model, cfg):
             dets = _topk_detections(cls_ids.reshape(-1), ks.reshape(-1),
                                     kb.reshape(-1, 4), kv.reshape(-1), max_det)
         else:
-            keep = jax.vmap(
-                lambda b, s, v: greedy_nms_mask(b, s, nms_thresh, v,
-                                                max_keep=max_det)
-            )(boxes_c, scores_t, valid)
+            keep = classwise_nms(boxes_c, scores_t, nms_thresh, score_thresh,
+                                 valid=valid, max_keep=max_det)
             cls_ids = jnp.broadcast_to(
                 jnp.arange(1, fg_classes + 1)[:, None], keep.shape)
             dets = _topk_detections(cls_ids.reshape(-1), scores_t.reshape(-1),

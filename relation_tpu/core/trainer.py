@@ -76,6 +76,9 @@ def build_model(cfg, tiny: bool = False):
         backbone="tiny" if tiny else "resnet101",
         head_dim=64 if tiny else 1024,
         conv_dtype=jnp.float32 if tiny else jnp.bfloat16,
+        head_dtype=(jnp.float32 if tiny or
+                    str(cfg.TPU.get("HEAD_DTYPE", "bfloat16")) != "bfloat16"
+                    else jnp.bfloat16),
     )
     if "fpn" in cfg.symbol:
         from relation_tpu.models.fpn import RelationRCNNFPN

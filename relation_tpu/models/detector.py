@@ -58,6 +58,9 @@ class RelationRCNN(nn.Module):
     dcn: bool = False                   # deformable res5 + deformable ROI pooling
     rcnn_feat_stride: int = 16
     conv_dtype: Any = jnp.bfloat16
+    # compute dtype for the ROI-head FCs and relation attention matmuls
+    # (softmax and the cls/bbox output layers always run f32)
+    head_dtype: Any = jnp.float32
     # tiny-model knobs for tests
     backbone: str = "resnet101"         # "resnet101" | "tiny"
     head_dim: int = 1024
@@ -84,14 +87,20 @@ class RelationRCNN(nn.Module):
             self.offset_fc = nn.Dense(7 * 7 * 2, name="offset",
                                       kernel_init=nn.initializers.zeros)
         self.fc_new_1 = nn.Dense(self.head_dim, name="fc_new_1",
+                                 dtype=self.head_dtype,
+                                 param_dtype=jnp.float32,
                                  kernel_init=_norm_init)
         self.fc_new_2 = nn.Dense(self.head_dim, name="fc_new_2",
+                                 dtype=self.head_dtype,
+                                 param_dtype=jnp.float32,
                                  kernel_init=_norm_init)
         if self.use_relation:
             self.relation_1 = RelationModule(index=1, dim_qk=self.head_dim,
-                                             dim_out=self.head_dim)
+                                             dim_out=self.head_dim,
+                                             dtype=self.head_dtype)
             self.relation_2 = RelationModule(index=2, dim_qk=self.head_dim,
-                                             dim_out=self.head_dim)
+                                             dim_out=self.head_dim,
+                                             dtype=self.head_dtype)
         self.cls_score = nn.Dense(self.num_classes, name="cls_score",
                                   kernel_init=_norm_init)
         num_reg = 2 if self.class_agnostic else self.num_classes
@@ -101,7 +110,8 @@ class RelationRCNN(nn.Module):
             self.learn_nms_head = LearnNMSHead(
                 num_fg_classes=self.num_classes - 1, first_n=self.first_n,
                 num_thresh=self.num_thresh, class_agnostic=self.class_agnostic,
-                bbox_means=self.bbox_means, bbox_stds=self.bbox_stds)
+                bbox_means=self.bbox_means, bbox_stds=self.bbox_stds,
+                attn_dtype=self.head_dtype)
 
     def features_and_rpn(self, image):
         """image [H, W, 3] (mean-subtracted BGR, fixed bucket) ->

@@ -117,6 +117,8 @@ class RelationRCNNFPN(nn.Module):
     conv_dtype: Any = jnp.bfloat16
     backbone: str = "resnet101"
     head_dim: int = 1024
+    # compute dtype for the ROI-head FCs and relation attention (see detector.py)
+    head_dtype: Any = jnp.float32
 
     def setup(self):
         if self.backbone == "resnet101":
@@ -128,14 +130,20 @@ class RelationRCNNFPN(nn.Module):
         self.neck = FPNNeck(dtype=self.conv_dtype)
         self.rpn = RPNHead(num_anchors=self.num_anchors, dtype=self.conv_dtype)
         self.roi_pool_fc1 = nn.Dense(self.head_dim, name="roi_pool_fc1",
+                                     dtype=self.head_dtype,
+                                     param_dtype=jnp.float32,
                                      kernel_init=_norm_init)
         self.roi_pool_fc2 = nn.Dense(self.head_dim, name="roi_pool_fc2",
+                                     dtype=self.head_dtype,
+                                     param_dtype=jnp.float32,
                                      kernel_init=_norm_init)
         if self.use_relation:
             self.relation_1 = RelationModule(index=1, dim_qk=self.head_dim,
-                                             dim_out=self.head_dim)
+                                             dim_out=self.head_dim,
+                                             dtype=self.head_dtype)
             self.relation_2 = RelationModule(index=2, dim_qk=self.head_dim,
-                                             dim_out=self.head_dim)
+                                             dim_out=self.head_dim,
+                                             dtype=self.head_dtype)
         self.cls_score = nn.Dense(self.num_classes, name="cls_score",
                                   kernel_init=_norm_init)
         num_reg = 2 if self.class_agnostic else self.num_classes
@@ -145,7 +153,8 @@ class RelationRCNNFPN(nn.Module):
             self.learn_nms_head = LearnNMSHead(
                 num_fg_classes=self.num_classes - 1, first_n=self.first_n,
                 num_thresh=self.num_thresh, class_agnostic=self.class_agnostic,
-                bbox_means=self.bbox_means, bbox_stds=self.bbox_stds)
+                bbox_means=self.bbox_means, bbox_stds=self.bbox_stds,
+                attn_dtype=self.head_dtype)
 
     def features_and_rpn(self, image):
         """image [H, W, 3] -> ({stride: feat}, {stride: (rpn_cls, rpn_bbox)})."""

@@ -55,6 +55,9 @@ class LearnNMSHead(nn.Module):
     bbox_means: tuple | None = None
     bbox_stds: tuple | None = None
     dtype: Any = jnp.float32
+    # compute dtype for the NMS relation attention matmuls (bf16 on the TPU
+    # fast path; the geometric bias, softmax, and logit layer stay f32)
+    attn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, cls_score, bbox_pred, rois, roi_feat, im_info,
@@ -118,7 +121,7 @@ class LearnNMSHead(nn.Module):
             active_f = max_per_class >= thr
 
         attention, _ = NMSRelationModule(index=1, groups=16, dim_qk=1024,
-                                         dim_out=128, dtype=self.dtype)(
+                                         dim_out=128, dtype=self.attn_dtype)(
             nms_embedding_feat, nms_position_matrix_t,
             active=None if active_f is None else active_f.astype(jnp.int32))
         feat = nn.relu(nms_embedding_feat + attention)            # [F, C, 128]

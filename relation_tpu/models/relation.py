@@ -89,10 +89,12 @@ class RelationModule(nn.Module):
         kk = kk.reshape(k, g, dqk)
 
         aff = jnp.einsum("ngd,kgd->ngk", q, kk) / jnp.sqrt(float(dqk))
-        attn = nn.softmax(aff + bias, axis=-1)
+        # softmax always in f32 (bias is f32 from the fused log-geometry kernel);
+        # the matmuls around it ride self.dtype (bf16 on the TPU fast path)
+        attn = nn.softmax(aff.astype(jnp.float32) + bias, axis=-1)
 
         v = nongt_feat                                            # [K, feat]
-        out = jnp.einsum("ngk,kf->ngf", attn, v)                  # [N, g, feat]
+        out = jnp.einsum("ngk,kf->ngf", attn.astype(v.dtype), v)  # [N, g, feat]
 
         # grouped linear_out: weight [g, feat, dim_out // g], head-major output
         feat_dim = v.shape[-1]
@@ -100,7 +102,8 @@ class RelationModule(nn.Module):
                        (g, feat_dim, self.dim_out // g))
         b = self.param(f"linear_out_{self.index}_bias", nn.initializers.zeros,
                        (self.dim_out,))
-        y = jnp.einsum("ngf,gfe->nge", out, w).reshape(n, self.dim_out) + b
+        y = jnp.einsum("ngf,gfe->nge", out, w.astype(out.dtype)
+                       ).reshape(n, self.dim_out).astype(jnp.float32) + b
         return y
 
 
@@ -160,8 +163,12 @@ class NMSRelationModule(nn.Module):
                 fused_nms_relation_attention_skip)
 
             def skip_path(_):
+                # the per-class kernel is floor-limited by program overhead,
+                # not bandwidth — run it in f32 regardless of self.dtype
                 return fused_nms_relation_attention_skip(
-                    position_mat_t, q, k, feat, wg, bg, wl, active)
+                    position_mat_t, q.astype(jnp.float32),
+                    k.astype(jnp.float32), feat.astype(jnp.float32),
+                    wg, bg, wl, active)
 
             def dense_path(_):
                 return _dense_attention_impl(position_mat_t, q, k, feat,
@@ -172,8 +179,9 @@ class NMSRelationModule(nn.Module):
         elif self.fully_fused:
             from relation_tpu.ops.pallas.nms_attention import (
                 fused_nms_relation_attention)
-            y = fused_nms_relation_attention(position_mat_t, q, k, feat, wg, bg,
-                                             wl)
+            y = fused_nms_relation_attention(
+                position_mat_t, q.astype(jnp.float32), k.astype(jnp.float32),
+                feat.astype(jnp.float32), wg, bg, wl)
         else:
             # fused Pallas geometric bias + XLA attention: the fastest measured
             # dense mix at C=80, N=100 (707 us vs 810 us for the per-class
@@ -186,14 +194,20 @@ class NMSRelationModule(nn.Module):
 
 
 def _dense_attention_impl(position_mat_t, q, k, feat, wg, bg, wl, c, n, g, dqk):
+    """The dense path is HBM-bound on the [C, g, N, N] intermediates (~430 MB
+    f32 round trips at C=79, N=100); the matmuls ride q.dtype (bf16 on the TPU
+    fast path) to halve that traffic, while the geometric bias and the softmax
+    stay f32."""
     from relation_tpu.ops.pallas.geom_bias import fused_geometric_bias
+    dt = q.dtype
     bias = fused_geometric_bias(position_mat_t, wg, bg)          # [C, g, N, N]
     qg = q.reshape(c, n, g, dqk)
     kg = k.reshape(c, n, g, dqk)
     aff = jnp.einsum("cigd,cjgd->cgij", qg, kg) / jnp.sqrt(float(dqk))
-    attn = nn.softmax(aff + bias, axis=-1)                        # [C, g, N, N]
-    av = jnp.einsum("cgij,cjf->cgif", attn, feat)                 # [C, g, N, F]
-    return jnp.einsum("cgif,gfe->cige", av, wl).reshape(c, n, -1)
+    attn = nn.softmax(aff.astype(jnp.float32) + bias, axis=-1)    # [C, g, N, N]
+    av = jnp.einsum("cgij,cjf->cgif", attn.astype(dt), feat.astype(dt))
+    return jnp.einsum("cgif,gfe->cige", av,
+                      wl.astype(dt)).reshape(c, n, -1).astype(jnp.float32)
 
 
 class _DenseParams(nn.Module):

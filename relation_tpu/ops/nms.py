@@ -66,8 +66,7 @@ def _on_tpu() -> bool:
         return False
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("iou_thresh", "block_size", "max_keep"))
+@functools.partial(jax.jit, static_argnames=("block_size", "max_keep"))
 def greedy_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
                     valid: jnp.ndarray | None = None,
                     block_size: int = 512,

@@ -59,29 +59,32 @@ def _sincos(x):
 
 
 def _bias_kernel(pos_ref, w_ref, b_ref, out_ref, *, scale):
-    """pos_ref: [1, 4, NN]; w_ref: [64, G]; b_ref: [1, G]; out_ref: [1, G, NN]."""
+    """pos_ref: [Cb, 4, NN]; w_ref: [64, G]; b_ref: [1, G]; out_ref: [Cb, G, NN].
+
+    Cb classes per grid program (unrolled) — a 1-class grid at C=79 pays the
+    per-program launch/DMA-setup floor 79 times for ~40 us of work each."""
     freqs = _frequencies()
-    nn_dim = pos_ref.shape[2]
-    G = out_ref.shape[1]
+    cb = pos_ref.shape[0]
 
-    trig_rows = []
-    for j in range(4):
-        p = pos_ref[0, j, :] * scale                  # [NN]
-        sins, coss = [], []
-        for k in range(8):
-            s, c = _sincos(p * float(freqs[k]))
-            sins.append(s)
-            coss.append(c)
-        trig_rows.extend(sins)
-        trig_rows.extend(coss)                        # layout: j*16 + (sin|cos)
-    trig = jnp.stack(trig_rows, axis=0)               # [64, NN]
+    for ci in range(cb):
+        trig_rows = []
+        for j in range(4):
+            p = pos_ref[ci, j, :] * scale             # [NN]
+            sins, coss = [], []
+            for k in range(8):
+                s, c = _sincos(p * float(freqs[k]))
+                sins.append(s)
+                coss.append(c)
+            trig_rows.extend(sins)
+            trig_rows.extend(coss)                    # layout: j*16 + (sin|cos)
+        trig = jnp.stack(trig_rows, axis=0)           # [64, NN]
 
-    # [G, 64] @ [64, NN] on the MXU
-    acc = jax.lax.dot_general(
-        w_ref[:, :], trig, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # [G, NN]
-    acc = acc + b_ref[0, :][:, None]
-    out_ref[0, :, :] = jnp.log(jnp.maximum(acc, 1e-6))
+        # [G, 64] @ [64, NN] on the MXU
+        acc = jax.lax.dot_general(
+            w_ref[:, :], trig, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [G, NN]
+        acc = acc + b_ref[0, :][:, None]
+        out_ref[ci, :, :] = jnp.log(jnp.maximum(acc, 1e-6))
 
 
 def _geom_bias_fwd_impl(pos_t: jnp.ndarray, kernel: jnp.ndarray,
@@ -90,22 +93,31 @@ def _geom_bias_fwd_impl(pos_t: jnp.ndarray, kernel: jnp.ndarray,
     C, four, N, M = pos_t.shape
     G = kernel.shape[1]
     nn_dim = N * M
-    pos_flat = pos_t.reshape(C, 4, nn_dim)
+    # batch classes per program to amortize the launch floor; bound the block
+    # working set (~Cb * (4+G) * NN * 4B) well inside VMEM
+    cb = 1
+    for cand in (8, 4, 2):
+        if cand * (4 + G) * nn_dim * 4 <= 8 * 2 ** 20:
+            cb = cand
+            break
+    cp = -(-C // cb) * cb
+    pos_flat = jnp.zeros((cp, 4, nn_dim), pos_t.dtype).at[:C].set(
+        pos_t.reshape(C, 4, nn_dim)) if cp != C else pos_t.reshape(C, 4, nn_dim)
     out = pl.pallas_call(
         functools.partial(_bias_kernel, scale=scale),
-        grid=(C,),
+        grid=(cp // cb,),
         in_specs=[
-            pl.BlockSpec((1, 4, nn_dim), lambda c: (c, 0, 0),
+            pl.BlockSpec((cb, 4, nn_dim), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((64, G), lambda c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G), lambda c: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, G, nn_dim), lambda c: (c, 0, 0),
+        out_specs=pl.BlockSpec((cb, G, nn_dim), lambda c: (c, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, G, nn_dim), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cp, G, nn_dim), jnp.float32),
         interpret=interpret,
     )(pos_flat, kernel, bias.reshape(1, G))
-    return out.reshape(C, G, N, M)
+    return out[:C].reshape(C, G, N, M)
 
 
 def geom_bias_reference(pos_t: jnp.ndarray, kernel: jnp.ndarray,
