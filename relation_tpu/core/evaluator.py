@@ -35,6 +35,22 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
         predict_fns = {}
         dets_per_image = {}
         t_data = t_net = t_post = 0.0
+        # JAX dispatch is async: keep a window of in-flight device results and
+        # fetch behind the dispatch frontier, so host<->device latency (a ~25 ms
+        # round trip through this environment's tunnel) overlaps with device
+        # compute instead of serializing per image (the reference's per-image
+        # asnumpy sync, core/tester.py:139-148, has no such overlap).
+        window: list[tuple] = []
+        depth = int(cfg.TPU.get("EVAL_PIPELINE_DEPTH", 8))
+
+        def drain(entry):
+            nonlocal t_post
+            image_id, dev_dets = entry
+            dets = np.asarray(dev_dets)             # forces/joins execution
+            t0 = time.time()
+            dets_per_image[image_id] = dets[dets[:, 0] >= 0]
+            t_post += time.time() - t0
+
         t = time.time()
         for i, (image_id, img, im_info) in enumerate(loader):
             t_data += time.time() - t
@@ -50,16 +66,17 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
                 img = to_s2d_planar(img)
             out = predict_fns[feat_hw](params, jnp.asarray(img),
                                        jnp.asarray(im_info))
-            dets = np.asarray(out["dets"])          # forces execution
+            window.append((image_id, out["dets"]))
+            if len(window) >= depth:
+                drain(window.pop(0))
             t_net += time.time() - t
-            t = time.time()
-            dets_per_image[image_id] = dets[dets[:, 0] >= 0]
-            t_post += time.time() - t
             if (i + 1) % 200 == 0:
                 n = i + 1
                 log(f"{n}/{len(loader)} data {t_data / n:.4f}s net {t_net / n:.4f}s "
                     f"post {t_post / n:.4f}s")
             t = time.time()
+        for entry in window:
+            drain(entry)
         if cache_path:
             os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
             with open(cache_path, "wb") as f:

@@ -30,7 +30,7 @@ from relation_tpu.models.learn_nms import LearnNMSHead
 from relation_tpu.ops.anchors import generate_anchors, shift_anchors
 from relation_tpu.ops.boxes import bbox_pred, clip_boxes, filter_boxes_mask
 from relation_tpu.ops.embeddings import extract_position_matrix_t
-from relation_tpu.ops.nms import greedy_nms_topk
+from relation_tpu.ops.nms import nms_topk_presorted
 from relation_tpu.ops.roi_pool import roi_align_mxu, roi_pool
 
 _norm_init = nn.initializers.normal(0.01)
@@ -268,6 +268,8 @@ def generate_proposals_fpn(rpn_out: dict, anchors: dict, im_info,
     top_scores, top_idx = jax.lax.top_k(scores, k)
     top_boxes = boxes[top_idx]
     top_valid = top_scores > -1e9
-    keep_idx, real = greedy_nms_topk(top_boxes, top_scores, nms_thresh,
-                                     post_nms_top_n, valid=top_valid)
+    # top_k output is descending -> presorted single-launch NMS sweep
+    # (see models/rpn.py::generate_proposals)
+    keep_idx, real = nms_topk_presorted(top_boxes.T, top_scores, top_valid,
+                                        nms_thresh, post_nms_top_n)
     return top_boxes[keep_idx], top_scores[keep_idx], real

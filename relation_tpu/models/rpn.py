@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from relation_tpu.ops import bbox_pred, clip_boxes, filter_boxes_mask
-from relation_tpu.ops.nms import greedy_nms_topk
+from relation_tpu.ops.nms import nms_topk_presorted
 
 _NEG_INF = -1e10
 
@@ -118,12 +118,15 @@ def generate_proposals(fg_prob: jnp.ndarray, deltas: jnp.ndarray,
 
     k = min(pre_nms_top_n, masked.shape[0])
     top_scores, top_idx = jax.lax.top_k(masked, k)
-    top_boxes = jnp.stack([x1[top_idx], y1[top_idx],
-                           x2[top_idx], y2[top_idx]], axis=1)  # [k, 4]
+    # planar [4, k]: the [k, 4] layout would lane-pad 4->128 on TPU, and the
+    # NMS kernel consumes the planar form directly
+    top_bT = jnp.stack([x1[top_idx], y1[top_idx],
+                        x2[top_idx], y2[top_idx]], axis=0)     # [4, k]
     top_valid = top_scores > _NEG_INF / 2
 
-    keep_idx, real = greedy_nms_topk(top_boxes, top_scores, nms_thresh,
-                                     post_nms_top_n, valid=top_valid)
-    rois = top_boxes[keep_idx]
+    # top_k output is descending -> presorted single-launch NMS sweep
+    keep_idx, real = nms_topk_presorted(top_bT, top_scores, top_valid,
+                                        nms_thresh, post_nms_top_n)
+    rois = top_bT[:, keep_idx].T                               # [post_N, 4]
     roi_scores = top_scores[keep_idx]
     return rois, roi_scores, real

@@ -156,6 +156,44 @@ def greedy_nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
     return order[idx], real
 
 
+def nms_topk_presorted(boxesT: jnp.ndarray, scores: jnp.ndarray, valid,
+                       iou_thresh, top_k: int):
+    """greedy_nms_topk for inputs ALREADY in descending-score order, with boxes
+    in planar [4, N] layout (never materializes a lane-padded [N, 4] array).
+
+    This is the proposal-op fast path (operator_py/proposal.py:144-158): the
+    pre-NMS candidates come straight out of lax.top_k, so the sort inside
+    greedy_nms_mask is redundant, and on TPU the sweep runs as the single-launch
+    Pallas kernel. On real RPN outputs the XLA while_loop tail costs ~437 us
+    (data-dependent fixpoint chain depth) vs ~147 us for the kernel (measured
+    v5e, 6000 boxes -> 300; tools/microbench_nms_variants.py).
+
+    Returns (indices [top_k] into the sorted input, real [top_k] bool), padded
+    by cycling through the kept boxes like greedy_nms_topk.
+    """
+    n = boxesT.shape[1]
+    if _on_tpu():
+        from relation_tpu.ops.pallas.nms_kernel import nms_keep_sorted
+        T = 256 if n >= 256 else 128
+        np_pad = -(-n // T) * T
+        bTp = jnp.zeros((1, 4, np_pad), jnp.float32).at[0, :, :n].set(
+            boxesT.astype(jnp.float32))
+        vp = jnp.zeros((1, np_pad), jnp.float32).at[0, :n].set(
+            valid.astype(jnp.float32))
+        keep = nms_keep_sorted(bTp, vp, thresh=float(iou_thresh), block=T,
+                               max_keep=int(top_k))[0, :n] > 0.5
+    else:
+        keep = greedy_nms_mask(boxesT.T, scores, iou_thresh, valid,
+                               max_keep=top_k)
+    masked = jnp.where(keep, scores, _NEG_INF)
+    order = jnp.argsort(-masked)
+    num_keep = jnp.sum(keep.astype(jnp.int32))
+    slots = jnp.arange(top_k)
+    real = slots < num_keep
+    idx = jnp.where(real, slots, slots % jnp.maximum(num_keep, 1))
+    return order[idx], real
+
+
 def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray, sigma,
              max_dets: int, valid: jnp.ndarray | None = None,
              score_floor: float = 0.0):

