@@ -167,6 +167,12 @@ def default_config() -> AttrDict:
     # ROI feature extraction: "align" (MXU ROIAlign, TPU default) or "pool"
     # (exact MXNet ROIPooling semantics for reference parity).
     TPU.ROI_METHOD = "align"
+    # Fused VMEM-resident res4b1..22 Pallas stack (ops/pallas/res4.py).
+    # Default OFF: on v5e at 608x1024 the custom call breaks XLA's
+    # space-to-batch conv rewrites upstream (~423 MB of wrapper copies,
+    # +1 ms e2e) for a kernel that only wins ~80 us over XLA's own stack —
+    # see core/predictor.py::prepare_res4_folded.
+    TPU.FUSE_RES4 = False
     # Global-norm gradient clipping (0 = off, reference behavior). Useful when
     # training from random init where the reference always starts pretrained.
     TPU.GRAD_CLIP = 0.0

@@ -14,7 +14,7 @@ import time
 
 import numpy as np
 
-from relation_tpu.core.predictor import make_predict_fn
+from relation_tpu.core.predictor import make_predict_fn, prepare_res4_folded
 from relation_tpu.data.eval import CocoEvaluator
 
 
@@ -33,6 +33,8 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
     else:
         loader = loader or TestLoader(roidb, cfg)
         predict_fns = {}
+        _UNSET = object()
+        res4_folded = _UNSET
         dets_per_image = {}
         t_data = t_net = t_post = 0.0
         # JAX dispatch is async: keep a window of in-flight device results and
@@ -59,13 +61,18 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
                        img.shape[1] // int(cfg.network.RCNN_FEAT_STRIDE))
             if feat_hw not in predict_fns:
                 predict_fns[feat_hw] = make_predict_fn(model, cfg, feat_hw)
+            if res4_folded is _UNSET:
+                # once per checkpoint: BN-fold the res4 stacks so the backbone
+                # takes the fused VMEM-resident Pallas path
+                res4_folded = prepare_res4_folded(
+                    model, params, enabled=bool(cfg.TPU.get("FUSE_RES4", False)))
             if bool(cfg.TPU.get("S2D_INPUT", True)):
                 # TPU-first input layout (see models/backbone.py): dense
                 # s2d planar instead of the lane-padded [H, W, 3] image
                 from relation_tpu.data.image import to_s2d_planar
                 img = to_s2d_planar(img)
             out = predict_fns[feat_hw](params, jnp.asarray(img),
-                                       jnp.asarray(im_info))
+                                       jnp.asarray(im_info), res4_folded)
             window.append((image_id, out["dets"]))
             if len(window) >= depth:
                 drain(window.pop(0))

@@ -46,12 +46,40 @@ def _topk_detections(cls_ids, scores, boxes, valid, max_det):
     return out
 
 
+def prepare_res4_folded(model, params, enabled: bool = False):
+    """Precompute the BN-folded res4 weight stacks that enable the fused
+    VMEM-resident res4 Pallas kernel (ops/pallas/res4.py). Run ONCE per
+    checkpoint and pass the result as ``res4_folded`` to the predict fn.
+
+    DEFAULT OFF (``enabled=False``; opt in via cfg.TPU.FUSE_RES4): measured on
+    v5e, the kernel itself beats XLA's in-context res4b stack only slightly
+    (644 us vs ~726 us), but the presence of the custom call breaks XLA's
+    space-to-batch conv rewrites for every upstream res2/res3 conv — ~423 MB
+    of materialized wrapper copies, ~+1.0 ms end-to-end (full analysis in
+    tools/microbench_res4.py docstring). Net e2e effect: 3.22 -> 5.13 ms.
+    Kept as infrastructure: the balance may flip at other image buckets, on
+    other TPU generations, or with a future XLA that re-fuses the wrappers.
+
+    Returns None when disabled, when the model has no ResNet-101 C4 trunk, or
+    on CPU (where the kernel would run in interpret mode)."""
+    import jax as _jax
+    if (not enabled
+            or getattr(model, "backbone", "resnet101") != "resnet101"
+            or "c4" not in params
+            or _jax.default_backend() == "cpu"):
+        return None
+    from relation_tpu.models.backbone import fold_res4_params
+    return _jax.jit(fold_res4_params)(params["c4"])
+
+
 def make_predict_fn(model: RelationRCNN, cfg, feat_hw: tuple[int, int]):
     """Build the jitted single-image inference function for one bucket.
 
-    Returns fn(params, image [H,W,3], im_info [3]) -> dict with
+    Returns fn(params, image [H,W,3], im_info [3], res4_folded=None) -> dict with
       detections [max_per_image, 6]  (cls, score, x1, y1, x2, y2; original coords)
       and the raw head outputs for diagnostics.
+    ``res4_folded`` (from ``prepare_res4_folded``) switches the backbone to the
+    fused res4 stack kernel.
     """
     stride = int(cfg.network.RPN_FEAT_STRIDE)
     base_anchors = generate_anchors(stride, tuple(cfg.network.ANCHOR_RATIOS),
@@ -73,7 +101,7 @@ def make_predict_fn(model: RelationRCNN, cfg, feat_hw: tuple[int, int]):
                                          generate_proposals_fpn, FPN_STRIDES)
     is_fpn = isinstance(model, RelationRCNNFPN)
 
-    def predict(params, image, im_info):
+    def predict(params, image, im_info, res4_folded=None):
         if is_fpn:
             feat, rpn_out = model.apply(
                 {"params": params}, image,
@@ -88,7 +116,8 @@ def make_predict_fn(model: RelationRCNN, cfg, feat_hw: tuple[int, int]):
                 float(cfg.TEST.RPN_NMS_THRESH), float(cfg.TEST.RPN_MIN_SIZE))
         else:
             feat, rpn_cls, rpn_bbox = model.apply(
-                {"params": params}, image, method=RelationRCNN.features_and_rpn)
+                {"params": params}, image, res4_folded,
+                method=RelationRCNN.features_and_rpn)
             fg_prob = jax.nn.softmax(rpn_cls, axis=-1)[..., 1]
             rois, roi_scores, roi_real = generate_proposals(
                 fg_prob, rpn_bbox, base_anchors, im_info, stride,

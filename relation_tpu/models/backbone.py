@@ -78,8 +78,26 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold: bool = False):
         p = self.prefix
+        if fold:
+            # Return BN-folded weights for the fused res4 stack kernel instead
+            # of applying the block. Parameter paths are identical to the plain
+            # path (res*_branch2x/kernel via _ConvKernel == nn.Conv's layout).
+            assert not self.has_proj and self.stride == 1 and self.dilation == 1
+            C, mid, dt = x.shape[-1], self.mid, self.dtype
+            k2a = _ConvKernel((1, 1, C, mid), name=f"res{p}_branch2a")()
+            sa, ba = FrozenBatchNorm(name=f"bn{p}_branch2a")(None, channels=mid)
+            k2b = _ConvKernel((3, 3, mid, mid), name=f"res{p}_branch2b")()
+            sb, bb = FrozenBatchNorm(name=f"bn{p}_branch2b")(None, channels=mid)
+            k2c = _ConvKernel((1, 1, mid, self.out), name=f"res{p}_branch2c")()
+            sc, bc = FrozenBatchNorm(name=f"bn{p}_branch2c")(None,
+                                                             channels=self.out)
+            return ((k2a[0, 0] * sa[None, :]).astype(dt), ba,
+                    # tap-major rows (dy*3+dx) — the kernel's shifted-matmul order
+                    (k2b * sb[None, None, None, :])
+                    .reshape(9 * mid, mid).astype(dt), bb,
+                    (k2c[0, 0] * sc[None, :]).astype(dt), bc)
         if self.has_proj:
             sc = _conv(f"res{p}_branch1", self.out, 1, self.stride, dtype=self.dtype)(x)
             sc = FrozenBatchNorm(name=f"bn{p}_branch1")(sc)
@@ -92,6 +110,17 @@ class Bottleneck(nn.Module):
         y = _conv(f"res{p}_branch2c", self.out, 1, dtype=self.dtype)(y)
         y = FrozenBatchNorm(name=f"bn{p}_branch2c")(y)
         return nn.relu(sc + y)
+
+
+class _ConvKernel(nn.Module):
+    """Holds a conv kernel param (path <name>/kernel, HWIO, lecun-normal init —
+    identical to nn.Conv's) without applying the convolution, so a fused kernel
+    path shares parameters with the plain conv path."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
 
 
 class _Conv1Weights(nn.Module):
@@ -157,9 +186,13 @@ class ResNet101C4(nn.Module):
     """
     dtype: Any = jnp.bfloat16
     out_stages: Sequence[int] = (4,)
+    # res4b1..b22 fused Pallas stack: None = use it when precomputed folded
+    # weights are passed in (``res4_folded``), True forces the in-graph fold
+    # (interpret mode on CPU — tests), False disables.
+    fuse_res4: bool | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, res4_folded=None):
         import jax
         w7 = _Conv1Weights(name="conv1")()          # param path conv1/kernel
         if x.ndim == 4 and x.shape[1] == 12:
@@ -206,14 +239,90 @@ class ResNet101C4(nn.Module):
         outs = {}
         plan = {2: (3, 64, 256, 1), 3: (4, 128, 512, 2), 4: (23, 256, 1024, 2)}
         for stage, (n, mid, out, stride) in plan.items():
-            for i, name in enumerate(_unit_names(stage, n)):
-                x = Bottleneck(prefix=name, mid=mid, out=out,
-                               stride=stride if i == 0 else 1,
-                               has_proj=(i == 0), dtype=self.dtype)(x)
+            names = _unit_names(stage, n)
+            fuse = (stage == 4 and x.shape[0] == 1
+                    and self.fuse_res4 is not False
+                    and (self.fuse_res4 is True or res4_folded is not None))
+            if fuse:
+                from relation_tpu.ops.pallas.res4 import fused_bottleneck_stack
+                x = Bottleneck(prefix=names[0], mid=mid, out=out, stride=stride,
+                               has_proj=True, dtype=self.dtype)(x)
+                if res4_folded is not None:
+                    # weights were BN-folded once outside the per-image jit
+                    # (fold_res4_params); the 22 blocks' raw params go unused
+                    x = fused_bottleneck_stack(
+                        x[0].astype(self.dtype), *res4_folded)[None]
+                else:
+                    x = self._fused_identity_stack(x, names[1:], mid, out)
+            else:
+                for i, name in enumerate(names):
+                    x = Bottleneck(prefix=name, mid=mid, out=out,
+                                   stride=stride if i == 0 else 1,
+                                   has_proj=(i == 0), dtype=self.dtype)(x)
             outs[stage] = x
         if self.out_stages == (4,):
             return x
         return {s: outs[s] for s in self.out_stages}
+
+    def _fused_identity_stack(self, x, names, mid, out):
+        """Run a run of identity bottlenecks (res4b1..b22) through the
+        VMEM-resident Pallas stack kernel (ops/pallas/res4.py), folding each
+        frozen BN into its conv weights. Each block is still a Bottleneck child
+        module called with fold=True, so the parameter tree (Bottleneck_N auto
+        scopes included) is identical to the plain path and checkpoints are
+        interchangeable."""
+        from relation_tpu.ops.pallas.res4 import fused_bottleneck_stack
+        folded = [Bottleneck(prefix=p, mid=mid, out=out,
+                             dtype=self.dtype)(x, fold=True) for p in names]
+        wa, b1, w3, b2, wc, b3 = (jnp.stack(t) for t in zip(*folded))
+        y = fused_bottleneck_stack(x[0].astype(self.dtype),
+                                   wa, b1, w3, b2, wc, b3)
+        return y[None]
+
+
+def fold_res4_params(c4_params, dtype=jnp.bfloat16, eps: float = 1e-5):
+    """Precompute the BN-folded weight stacks for the fused res4 Pallas kernel.
+
+    Run ONCE per checkpoint, outside the per-image jit (folding ~25M params in
+    the graph costs ~1 ms/call; precomputed it is free). ``c4_params`` is the
+    ResNet101C4 param dict (the ``Bottleneck_N`` scopes). Returns the 6-tuple
+    (wa, b1, w3, b2, wc, b3) of [22, ...] stacks accepted by
+    ``fused_bottleneck_stack`` — same math as ``Bottleneck.__call__(fold=True)``.
+    """
+    import re
+    blocks = []
+    for sub in c4_params.values():
+        if not hasattr(sub, "keys"):
+            continue
+        for k in sub.keys():
+            m = re.fullmatch(r"res4b(\d+)_branch2a", k)
+            if m:
+                blocks.append((int(m.group(1)), sub))
+                break
+    blocks.sort(key=lambda t: t[0])
+
+    def bn(sub, name):
+        p = sub[name]
+        scale = p["gamma"] / jnp.sqrt(p["moving_var"] + eps)
+        return scale, p["beta"] - p["moving_mean"] * scale
+
+    wa, b1, w3, b2, wc, b3 = [], [], [], [], [], []
+    for i, sub in blocks:
+        sa, ba = bn(sub, f"bn4b{i}_branch2a")
+        sb, bb = bn(sub, f"bn4b{i}_branch2b")
+        sc, bc = bn(sub, f"bn4b{i}_branch2c")
+        k2a = sub[f"res4b{i}_branch2a"]["kernel"]
+        k2b = sub[f"res4b{i}_branch2b"]["kernel"]
+        k2c = sub[f"res4b{i}_branch2c"]["kernel"]
+        mid = k2b.shape[-1]
+        wa.append((k2a[0, 0] * sa[None, :]).astype(dtype))
+        b1.append(ba)
+        w3.append((k2b * sb[None, None, None, :])
+                  .reshape(9 * mid, mid).astype(dtype))
+        b2.append(bb)
+        wc.append((k2c[0, 0] * sc[None, :]).astype(dtype))
+        b3.append(bc)
+    return tuple(jnp.stack(t) for t in (wa, b1, w3, b2, wc, b3))
 
 
 class ResNet101C5(nn.Module):

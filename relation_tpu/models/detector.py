@@ -113,10 +113,16 @@ class RelationRCNN(nn.Module):
                 bbox_means=self.bbox_means, bbox_stds=self.bbox_stds,
                 attn_dtype=self.head_dtype)
 
-    def features_and_rpn(self, image):
+    def features_and_rpn(self, image, res4_folded=None):
         """image [H, W, 3] (mean-subtracted BGR, fixed bucket) ->
-        (head_feat [H/16, W/16, 256], rpn_cls [h,w,A,2], rpn_bbox [h,w,A,4])."""
-        c4_feat = self.c4(image[None])                    # [1, h, w, 1024]
+        (head_feat [H/16, W/16, 256], rpn_cls [h,w,A,2], rpn_bbox [h,w,A,4]).
+
+        ``res4_folded``: optional precomputed BN-folded res4 weight stacks
+        (backbone.fold_res4_params) enabling the fused Pallas res4 kernel."""
+        if self.backbone == "resnet101":
+            c4_feat = self.c4(image[None], res4_folded)   # [1, h, w, 1024]
+        else:
+            c4_feat = self.c4(image[None])
         rpn_cls, rpn_bbox = self.rpn(c4_feat)
         c5_feat = self.c5(c4_feat)                        # [1, h, w, 2048]
         reduced = nn.relu(self.conv_new_1(c5_feat))       # [1, h, w, 256]

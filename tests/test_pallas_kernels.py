@@ -204,3 +204,65 @@ def test_stem_kernel_matches_xla(rng):
     np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.5)
     corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
     assert corr > 0.9999
+
+
+def test_res4_stack_kernel_matches_reference(rng):
+    """VMEM-resident bottleneck stack (interpret) == jnp reference chain."""
+    from relation_tpu.ops.pallas.res4 import (
+        _fused_bottleneck_stack_impl, bottleneck_stack_reference)
+
+    H, W, C, Cmid, B = 8, 16, 128, 32, 3
+    x = jnp.asarray(rng.randn(H, W, C), jnp.bfloat16)
+    wa = jnp.asarray(rng.randn(B, C, Cmid) * 0.1, jnp.bfloat16)
+    b1 = jnp.asarray(rng.randn(B, Cmid) * 0.1, jnp.float32)
+    w3 = jnp.asarray(rng.randn(B, 9 * Cmid, Cmid) * 0.05, jnp.bfloat16)
+    b2 = jnp.asarray(rng.randn(B, Cmid) * 0.1, jnp.float32)
+    wc = jnp.asarray(rng.randn(B, Cmid, C) * 0.1, jnp.bfloat16)
+    b3 = jnp.asarray(rng.randn(B, C) * 0.1, jnp.float32)
+
+    got = np.asarray(_fused_bottleneck_stack_impl(
+        x, wa, b1, w3, b2, wc, b3, True), np.float32)
+    ref = np.asarray(bottleneck_stack_reference(
+        x, wa, b1, w3, b2, wc, b3), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
+
+
+def test_res4_fused_backbone_path_matches_plain(rng):
+    """ResNet101C4 with the fused res4 stack == the plain Bottleneck chain,
+    sharing one param tree (fold correctness incl. BN folding and tap order)."""
+    from relation_tpu.models.backbone import ResNet101C4
+
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    plain = ResNet101C4(fuse_res4=False)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    # randomize BN stats so the fold is non-trivial
+    def jitter(p, path=()):
+        if isinstance(p, dict):
+            return {k: jitter(v, path + (k,)) for k, v in p.items()}
+        if path and path[-1] in ("moving_var",):
+            return p * jnp.asarray(
+                rng.uniform(0.5, 2.0, p.shape).astype(np.float32))
+        if path and path[-1] in ("moving_mean", "beta"):
+            return p + jnp.asarray(
+                rng.randn(*p.shape).astype(np.float32) * 0.1)
+        return p
+    params = jitter(params)
+    ref = np.asarray(plain.apply(params, x), np.float32)
+    got = np.asarray(ResNet101C4(fuse_res4=True).apply(params, x), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.1)
+    assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
+
+
+def test_fold_res4_params_matches_in_graph_fold(rng):
+    """Precomputed fold (backbone.fold_res4_params, run outside the jit) drives
+    the kernel to the same output as the plain Bottleneck chain."""
+    from relation_tpu.models.backbone import ResNet101C4, fold_res4_params
+
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    plain = ResNet101C4(fuse_res4=False)
+    params = plain.init(jax.random.PRNGKey(1), x)
+    ref = np.asarray(plain.apply(params, x), np.float32)
+    folded = fold_res4_params(params["params"])
+    got = np.asarray(ResNet101C4().apply(params, x, folded), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.1)
+    assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
