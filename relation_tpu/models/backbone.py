@@ -192,7 +192,7 @@ class ResNet101C4(nn.Module):
     fuse_res4: bool | None = None
 
     @nn.compact
-    def __call__(self, x, res4_folded=None):
+    def __call__(self, x, res4_folded=None, trunk_folded=None):
         import jax
         w7 = _Conv1Weights(name="conv1")()          # param path conv1/kernel
         if x.ndim == 4 and x.shape[1] == 12:
@@ -238,6 +238,23 @@ class ResNet101C4(nn.Module):
 
         outs = {}
         plan = {2: (3, 64, 256, 1), 3: (4, 128, 512, 2), 4: (23, 256, 1024, 2)}
+        if trunk_folded is not None and x.shape[0] == 1:
+            # ALL-Pallas trunk: every res2..res4 block is a kernel, so no XLA
+            # conv sits upstream of a pallas call (which would forfeit its
+            # space-to-batch rewrites — see ops/pallas/bottleneck_proj.py).
+            from relation_tpu.ops.pallas.res4 import fused_bottleneck_stack
+            from relation_tpu.ops.pallas.bottleneck_proj import (
+                fused_proj_bottleneck)
+            y = x[0].astype(self.dtype)
+            for stage, (n, mid, out, stride) in plan.items():
+                f = trunk_folded[stage]
+                y = fused_proj_bottleneck(y, *f["proj"], stride=stride)
+                if f["stack"] is not None:
+                    y = fused_bottleneck_stack(y, *f["stack"])
+                outs[stage] = y[None]
+            if self.out_stages == (4,):
+                return outs[4]
+            return {s: outs[s] for s in self.out_stages}
         for stage, (n, mid, out, stride) in plan.items():
             names = _unit_names(stage, n)
             fuse = (stage == 4 and x.shape[0] == 1
@@ -323,6 +340,79 @@ def fold_res4_params(c4_params, dtype=jnp.bfloat16, eps: float = 1e-5):
         wc.append((k2c[0, 0] * sc[None, :]).astype(dtype))
         b3.append(bc)
     return tuple(jnp.stack(t) for t in (wa, b1, w3, b2, wc, b3))
+
+
+def fold_trunk_params(c4_params, dtype=jnp.bfloat16, eps: float = 1e-5):
+    """Precompute BN-folded weights for the ALL-Pallas trunk (res2a..res4b22):
+    per stage a projection-block weight tuple (ops/pallas/bottleneck_proj.py)
+    plus the identity-stack arrays (ops/pallas/res4.py). Run once per
+    checkpoint, outside the per-image jit.
+
+    Returns {stage: {"proj": (w1, b1p, wa, b1, w3, b2, wc, b3),
+                     "stack": (wa, b1, w3, b2, wc, b3) stacked, or None}}.
+    """
+    import re
+    units: dict[int, dict[str, Any]] = {2: {}, 3: {}, 4: {}}
+    for sub in c4_params.values():
+        if not hasattr(sub, "keys"):
+            continue
+        for k in sub.keys():
+            m = re.fullmatch(r"res(\d)(\w*?)_branch2a", k)
+            if m:
+                units[int(m.group(1))][m.group(2)] = sub
+                break
+
+    def bn(sub, name):
+        p = sub[name]
+        scale = p["gamma"] / jnp.sqrt(p["moving_var"] + eps)
+        return scale, p["beta"] - p["moving_mean"] * scale
+
+    def fold3(sub, prefix, min_mid=128):
+        """(wa, b1, w3, b2, wc, b3) for the branch2 tower of one block.
+
+        Cmid is zero-padded up to ``min_mid`` (=the 128-lane tile): the MXU
+        processes 128 lanes regardless, Mosaic's sliced weight DMAs require
+        lane-tile alignment, and the extra zero channels provably contribute
+        nothing (relu(0+0)=0 through every stage)."""
+        sa, ba = bn(sub, f"bn{prefix}_branch2a")
+        sb, bb = bn(sub, f"bn{prefix}_branch2b")
+        sc, bc = bn(sub, f"bn{prefix}_branch2c")
+        k2a = sub[f"res{prefix}_branch2a"]["kernel"]
+        k2b = sub[f"res{prefix}_branch2b"]["kernel"]
+        k2c = sub[f"res{prefix}_branch2c"]["kernel"]
+        mid = k2b.shape[-1]
+        pad = max(0, min_mid - mid)
+        wa = jnp.pad(k2a[0, 0] * sa[None, :], ((0, 0), (0, pad)))
+        b1 = jnp.pad(ba, (0, pad))
+        w3 = jnp.pad(k2b * sb[None, None, None, :],
+                     ((0, 0), (0, 0), (0, pad), (0, pad)))
+        b2 = jnp.pad(bb, (0, pad))
+        wc = jnp.pad(k2c[0, 0] * sc[None, :], ((0, pad), (0, 0)))
+        m = mid + pad
+        return (wa.astype(dtype), b1,
+                w3.reshape(9 * m, m).astype(dtype), b2,
+                wc.astype(dtype), bc)
+
+    def unit_order(name):
+        # identity units are "b"/"c" (res2) or "b1".."b22" (res3/res4)
+        return "bc".index(name) if name in ("b", "c") else int(name[1:]) - 1
+
+    out = {}
+    for stage, subs in units.items():
+        prefix_a = f"{stage}a"
+        sub_a = subs["a"]
+        s1, b1bn = bn(sub_a, f"bn{prefix_a}_branch1")
+        k1 = sub_a[f"res{prefix_a}_branch1"]["kernel"]
+        wa, b1, w3, b2, wc, b3 = fold3(sub_a, prefix_a)
+        proj = ((k1[0, 0] * s1[None, :]).astype(dtype), b1bn,
+                wa, b1, w3, b2, wc, b3)
+        idents = sorted((n for n in subs if n != "a"), key=unit_order)
+        stacked = None
+        if idents:
+            folded = [fold3(subs[n], f"{stage}{n}") for n in idents]
+            stacked = tuple(jnp.stack(t) for t in zip(*folded))
+        out[stage] = {"proj": proj, "stack": stacked}
+    return out
 
 
 class ResNet101C5(nn.Module):

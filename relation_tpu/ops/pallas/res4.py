@@ -44,18 +44,28 @@ def _res4_kernel(x_hbm, wa_hbm, b1, w3_hbm, b2, wc_hbm, b3, out,
     R = H * W
     b = pl.program_id(0)
 
+    # Weight stacks ride as 2-D arrays with blocks stacked on the SUBLANE axis
+    # ([B*rows, cols] in HBM, [2*rows, cols] double-buffer scratch), sliced via
+    # pl.ds — any 3-D [B, rows, cols] slicing needs lane-aligned slices, which
+    # fails when cols < 128 (res2's Cmid=64).
+    C = wa_v.shape[0] // 2
+
+    def _parts(i, slot):
+        return ((wa_hbm, C, wa_v, 0), (w3_hbm, 9 * Cmid, w3_v, 1),
+                (wc_hbm, Cmid, wc_v, 2))
+
     def fetch(i, slot):
         """Start the weight DMAs for block i into buffer ``slot``."""
-        for hbm, vmem, s in ((wa_hbm, wa_v, 0), (w3_hbm, w3_v, 1),
-                             (wc_hbm, wc_v, 2)):
-            pltpu.make_async_copy(hbm.at[i], vmem.at[slot], wsem.at[slot, s]
-                                  ).start()
+        for hbm, rows, vmem, s in _parts(i, slot):
+            pltpu.make_async_copy(hbm.at[pl.ds(i * rows, rows), :],
+                                  vmem.at[pl.ds(slot * rows, rows), :],
+                                  wsem.at[slot, s]).start()
 
     def wait(slot):
-        for hbm, vmem, s in ((wa_hbm, wa_v, 0), (w3_hbm, w3_v, 1),
-                             (wc_hbm, wc_v, 2)):
-            pltpu.make_async_copy(hbm.at[0], vmem.at[slot], wsem.at[slot, s]
-                                  ).wait()
+        for hbm, rows, vmem, s in _parts(0, slot):
+            pltpu.make_async_copy(hbm.at[pl.ds(0, rows), :],
+                                  vmem.at[pl.ds(slot * rows, rows), :],
+                                  wsem.at[slot, s]).wait()
 
     @pl.when(b == 0)
     def _():
@@ -72,7 +82,9 @@ def _res4_kernel(x_hbm, wa_hbm, b1, w3_hbm, b2, wc_hbm, b3, out,
         fetch(b + 1, 1 - slot)
     wait(slot)
 
-    wa, w3, wc = wa_v[slot], w3_v[slot], wc_v[slot]
+    wa = wa_v[pl.ds(slot * C, C), :]
+    w3 = w3_v[pl.ds(slot * 9 * Cmid, 9 * Cmid), :]
+    wc = wc_v[pl.ds(slot * Cmid, Cmid), :]
     dt = out.dtype
     x = out[:]                                               # [R, C] resident
     a = jnp.dot(x, wa, preferred_element_type=jnp.float32)
@@ -99,9 +111,11 @@ def _res4_kernel(x_hbm, wa_hbm, b1, w3_hbm, b2, wc_hbm, b3, out,
             res + y3 + b3[0, 0, :][None, :], 0.0).astype(dt)
 
 
-def _pick_chunk(R: int) -> int:
-    """Largest divisor of R that keeps the f32 [chunk, 1024] epilogue ~<=2.5 MB."""
-    for c in range(min(R, 640), 7, -8):
+def _pick_chunk(R: int, C: int = 1024) -> int:
+    """Largest divisor of R that keeps the f32 [chunk, C] epilogue ~<=2.5 MB
+    (fewer chunks also keeps the unrolled Mosaic code small)."""
+    cap = max(8, (2_500_000 // (C * 4)) // 8 * 8)
+    for c in range(min(R, cap), 7, -8):
         if R % c == 0:
             return c
     return R
@@ -139,7 +153,7 @@ def _fused_bottleneck_stack_impl(x, wa, b1, w3, b2, wc, b3,
     R = H * W
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
-    chunk = _pick_chunk(R)
+    chunk = _pick_chunk(R, C)
     kernel = functools.partial(_res4_kernel, H=H, W=W, Cmid=Cmid, chunk=chunk,
                                num_blocks=B)
     out = pl.pallas_call(
@@ -167,17 +181,18 @@ def _fused_bottleneck_stack_impl(x, wa, b1, w3, b2, wc, b3,
         scratch_shapes=[
             pltpu.VMEM((R, Cmid), x.dtype),                  # y1
             pltpu.VMEM((H + 2, W + 2, Cmid), x.dtype),       # padded y1
-            pltpu.VMEM((2, C, Cmid), x.dtype),               # wa double buffer
-            pltpu.VMEM((2, 9 * Cmid, Cmid), x.dtype),        # w3 double buffer
-            pltpu.VMEM((2, Cmid, C), x.dtype),               # wc double buffer
+            pltpu.VMEM((2 * C, Cmid), x.dtype),              # wa double buffer
+            pltpu.VMEM((2 * 9 * Cmid, Cmid), x.dtype),       # w3 double buffer
+            pltpu.VMEM((2 * Cmid, C), x.dtype),              # wc double buffer
             pltpu.SemaphoreType.DMA,                         # feature-map DMA
             pltpu.SemaphoreType.DMA((2, 3)),                 # weight DMAs
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x.reshape(R, C), wa, b1.reshape(B, 1, Cmid), w3,
-      b2.reshape(B, 1, Cmid), wc, b3.reshape(B, 1, C))
+    )(x.reshape(R, C), wa.reshape(B * C, Cmid), b1.reshape(B, 1, Cmid),
+      w3.reshape(B * 9 * Cmid, Cmid), b2.reshape(B, 1, Cmid),
+      wc.reshape(B * Cmid, C), b3.reshape(B, 1, C))
     return out.reshape(H, W, C)
 
 
@@ -190,7 +205,7 @@ def fused_bottleneck_stack_vmem_bytes(H: int, W: int, C: int,
     y1 = R * Cmid * 2
     y1p = (H + 2) * (W + 2) * Cmid * 2
     weights = 2 * (C * Cmid + 9 * Cmid * Cmid + Cmid * C) * 2   # 2-slot scratch
-    epilogue = _pick_chunk(R) * C * 4 + R * Cmid * 4            # f32 temporaries
+    epilogue = _pick_chunk(R, C) * C * 4 + R * Cmid * 4            # f32 temporaries
     return out_blk + y1 + y1p + weights + epilogue
 
 

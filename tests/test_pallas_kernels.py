@@ -266,3 +266,41 @@ def test_fold_res4_params_matches_in_graph_fold(rng):
     got = np.asarray(ResNet101C4().apply(params, x, folded), np.float32)
     np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.1)
     assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
+
+
+def test_proj_bottleneck_kernel_matches_reference(rng):
+    """Projection-block kernel (interpret) == jnp reference, stride 1 and 2."""
+    from relation_tpu.ops.pallas.bottleneck_proj import (
+        fused_proj_bottleneck, proj_bottleneck_reference)
+
+    for stride, (H, W, Cin, Cmid, Cout) in [(1, (8, 16, 16, 8, 32)),
+                                            (2, (8, 16, 32, 8, 64))]:
+        args = (jnp.asarray(rng.randn(H, W, Cin), jnp.bfloat16),
+                jnp.asarray(rng.randn(Cin, Cout) * 0.1, jnp.bfloat16),
+                jnp.asarray(rng.randn(Cout) * 0.1, jnp.float32),
+                jnp.asarray(rng.randn(Cin, Cmid) * 0.1, jnp.bfloat16),
+                jnp.asarray(rng.randn(Cmid) * 0.1, jnp.float32),
+                jnp.asarray(rng.randn(9 * Cmid, Cmid) * 0.05, jnp.bfloat16),
+                jnp.asarray(rng.randn(Cmid) * 0.1, jnp.float32),
+                jnp.asarray(rng.randn(Cmid, Cout) * 0.1, jnp.bfloat16),
+                jnp.asarray(rng.randn(Cout) * 0.1, jnp.float32))
+        got = np.asarray(fused_proj_bottleneck(*args, stride=stride,
+                                               interpret=True), np.float32)
+        ref = np.asarray(proj_bottleneck_reference(*args, stride=stride),
+                         np.float32)
+        np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.05)
+
+
+def test_all_pallas_trunk_matches_plain(rng):
+    """fold_trunk_params + proj/stack kernels == the plain Bottleneck chain
+    (29 blocks of compounding bf16 rounding -> loose tolerance + correlation)."""
+    from relation_tpu.models.backbone import ResNet101C4, fold_trunk_params
+
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    plain = ResNet101C4(fuse_res4=False)
+    params = plain.init(jax.random.PRNGKey(1), x)
+    ref = np.asarray(plain.apply(params, x), np.float32)
+    folded = fold_trunk_params(params["params"])
+    got = np.asarray(ResNet101C4().apply(params, x, None, folded), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=0.2, atol=0.2)
+    assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
