@@ -33,8 +33,10 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
     else:
         loader = loader or TestLoader(roidb, cfg)
         predict_fns = {}
-        _UNSET = object()
-        res4_folded = _UNSET
+        # once per checkpoint: BN-fold the res4 stacks (None unless
+        # cfg.TPU.FUSE_RES4 opts in to the fused-backbone kernel)
+        res4_folded = prepare_res4_folded(
+            model, params, enabled=bool(cfg.TPU.get("FUSE_RES4", False)))
         dets_per_image = {}
         t_data = t_net = t_post = 0.0
         # JAX dispatch is async: keep a window of in-flight device results and
@@ -61,11 +63,6 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
                        img.shape[1] // int(cfg.network.RCNN_FEAT_STRIDE))
             if feat_hw not in predict_fns:
                 predict_fns[feat_hw] = make_predict_fn(model, cfg, feat_hw)
-            if res4_folded is _UNSET:
-                # once per checkpoint: BN-fold the res4 stacks so the backbone
-                # takes the fused VMEM-resident Pallas path
-                res4_folded = prepare_res4_folded(
-                    model, params, enabled=bool(cfg.TPU.get("FUSE_RES4", False)))
             if bool(cfg.TPU.get("S2D_INPUT", True)):
                 # TPU-first input layout (see models/backbone.py): dense
                 # s2d planar instead of the lane-padded [H, W, 3] image

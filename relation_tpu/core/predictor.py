@@ -63,7 +63,9 @@ def prepare_res4_folded(model, params, enabled: bool = False):
     Returns None when disabled, when the model has no ResNet-101 C4 trunk, or
     on CPU (where the kernel would run in interpret mode)."""
     import jax as _jax
+    from relation_tpu.models.fpn import RelationRCNNFPN
     if (not enabled
+            or isinstance(model, RelationRCNNFPN)   # FPN predict has no fused path
             or getattr(model, "backbone", "resnet101") != "resnet101"
             or "c4" not in params
             or _jax.default_backend() == "cpu"):

@@ -66,6 +66,29 @@ def _conv(name, features, kernel, strides=1, dilation=1, dtype=jnp.bfloat16):
                    name=name)
 
 
+def _fold_tower(k2a, k2b, k2c, bn2a, bn2b, bn2c, dtype, min_mid=0):
+    """BN-fold one branch2 tower -> (wa, b1, w3, b2, wc, b3) with w3 in
+    tap-major rows (the shifted-matmul order of the Pallas kernels). The ONE
+    copy of the fold formula — used by Bottleneck(fold=True) and the
+    checkpoint-time fold_trunk_params/fold_res4_params.
+
+    ``min_mid``: zero-pad Cmid up to this (the 128-lane tile) — the MXU
+    processes 128 lanes regardless, Mosaic's sliced weight DMAs require
+    lane-tile alignment, and zero channels provably contribute nothing
+    (relu(0+0)=0 through every stage)."""
+    (sa, ba), (sb, bb), (sc, bc) = bn2a, bn2b, bn2c
+    mid = k2b.shape[-1]
+    pad = max(0, min_mid - mid)
+    wa = jnp.pad(k2a[0, 0] * sa[None, :], ((0, 0), (0, pad)))
+    w3 = jnp.pad(k2b * sb[None, None, None, :],
+                 ((0, 0), (0, 0), (0, pad), (0, pad)))
+    wc = jnp.pad(k2c[0, 0] * sc[None, :], ((0, pad), (0, 0)))
+    m = mid + pad
+    return (wa.astype(dtype), jnp.pad(ba, (0, pad)),
+            w3.reshape(9 * m, m).astype(dtype), jnp.pad(bb, (0, pad)),
+            wc.astype(dtype), bc)
+
+
 class Bottleneck(nn.Module):
     """One Caffe-style bottleneck unit: 1x1 (stride) -> 3x3 (dilate) -> 1x1, with an
     optional branch1 projection."""
@@ -93,11 +116,7 @@ class Bottleneck(nn.Module):
             k2c = _ConvKernel((1, 1, mid, self.out), name=f"res{p}_branch2c")()
             sc, bc = FrozenBatchNorm(name=f"bn{p}_branch2c")(None,
                                                              channels=self.out)
-            return ((k2a[0, 0] * sa[None, :]).astype(dt), ba,
-                    # tap-major rows (dy*3+dx) — the kernel's shifted-matmul order
-                    (k2b * sb[None, None, None, :])
-                    .reshape(9 * mid, mid).astype(dt), bb,
-                    (k2c[0, 0] * sc[None, :]).astype(dt), bc)
+            return _fold_tower(k2a, k2b, k2c, (sa, ba), (sb, bb), (sc, bc), dt)
         if self.has_proj:
             sc = _conv(f"res{p}_branch1", self.out, 1, self.stride, dtype=self.dtype)(x)
             sc = FrozenBatchNorm(name=f"bn{p}_branch1")(sc)
@@ -238,6 +257,10 @@ class ResNet101C4(nn.Module):
 
         outs = {}
         plan = {2: (3, 64, 256, 1), 3: (4, 128, 512, 2), 4: (23, 256, 1024, 2)}
+        if trunk_folded is not None and (x.shape[1] % 4 or x.shape[2] % 4):
+            # stage-2/3 stride-2 decimation needs even dims at every stage;
+            # conv ceil-mode semantics differ for odd dims — use the conv path
+            trunk_folded = None
         if trunk_folded is not None and x.shape[0] == 1:
             # ALL-Pallas trunk: every res2..res4 block is a kernel, so no XLA
             # conv sits upstream of a pallas call (which would forfeit its
@@ -298,48 +321,13 @@ class ResNet101C4(nn.Module):
 
 
 def fold_res4_params(c4_params, dtype=jnp.bfloat16, eps: float = 1e-5):
-    """Precompute the BN-folded weight stacks for the fused res4 Pallas kernel.
-
-    Run ONCE per checkpoint, outside the per-image jit (folding ~25M params in
-    the graph costs ~1 ms/call; precomputed it is free). ``c4_params`` is the
-    ResNet101C4 param dict (the ``Bottleneck_N`` scopes). Returns the 6-tuple
-    (wa, b1, w3, b2, wc, b3) of [22, ...] stacks accepted by
-    ``fused_bottleneck_stack`` — same math as ``Bottleneck.__call__(fold=True)``.
+    """Precompute the BN-folded weight stacks for the fused res4 Pallas kernel
+    (the res4-only subset of ``fold_trunk_params``; run once per checkpoint,
+    outside the per-image jit — folding ~25M params in the graph costs
+    ~1 ms/call). Returns the (wa, b1, w3, b2, wc, b3) stacks accepted by
+    ``fused_bottleneck_stack``. Under jit the unused stage-2/3 folds are DCE'd.
     """
-    import re
-    blocks = []
-    for sub in c4_params.values():
-        if not hasattr(sub, "keys"):
-            continue
-        for k in sub.keys():
-            m = re.fullmatch(r"res4b(\d+)_branch2a", k)
-            if m:
-                blocks.append((int(m.group(1)), sub))
-                break
-    blocks.sort(key=lambda t: t[0])
-
-    def bn(sub, name):
-        p = sub[name]
-        scale = p["gamma"] / jnp.sqrt(p["moving_var"] + eps)
-        return scale, p["beta"] - p["moving_mean"] * scale
-
-    wa, b1, w3, b2, wc, b3 = [], [], [], [], [], []
-    for i, sub in blocks:
-        sa, ba = bn(sub, f"bn4b{i}_branch2a")
-        sb, bb = bn(sub, f"bn4b{i}_branch2b")
-        sc, bc = bn(sub, f"bn4b{i}_branch2c")
-        k2a = sub[f"res4b{i}_branch2a"]["kernel"]
-        k2b = sub[f"res4b{i}_branch2b"]["kernel"]
-        k2c = sub[f"res4b{i}_branch2c"]["kernel"]
-        mid = k2b.shape[-1]
-        wa.append((k2a[0, 0] * sa[None, :]).astype(dtype))
-        b1.append(ba)
-        w3.append((k2b * sb[None, None, None, :])
-                  .reshape(9 * mid, mid).astype(dtype))
-        b2.append(bb)
-        wc.append((k2c[0, 0] * sc[None, :]).astype(dtype))
-        b3.append(bc)
-    return tuple(jnp.stack(t) for t in (wa, b1, w3, b2, wc, b3))
+    return fold_trunk_params(c4_params, dtype, eps)[4]["stack"]
 
 
 def fold_trunk_params(c4_params, dtype=jnp.bfloat16, eps: float = 1e-5):
@@ -368,30 +356,14 @@ def fold_trunk_params(c4_params, dtype=jnp.bfloat16, eps: float = 1e-5):
         return scale, p["beta"] - p["moving_mean"] * scale
 
     def fold3(sub, prefix, min_mid=128):
-        """(wa, b1, w3, b2, wc, b3) for the branch2 tower of one block.
-
-        Cmid is zero-padded up to ``min_mid`` (=the 128-lane tile): the MXU
-        processes 128 lanes regardless, Mosaic's sliced weight DMAs require
-        lane-tile alignment, and the extra zero channels provably contribute
-        nothing (relu(0+0)=0 through every stage)."""
-        sa, ba = bn(sub, f"bn{prefix}_branch2a")
-        sb, bb = bn(sub, f"bn{prefix}_branch2b")
-        sc, bc = bn(sub, f"bn{prefix}_branch2c")
-        k2a = sub[f"res{prefix}_branch2a"]["kernel"]
-        k2b = sub[f"res{prefix}_branch2b"]["kernel"]
-        k2c = sub[f"res{prefix}_branch2c"]["kernel"]
-        mid = k2b.shape[-1]
-        pad = max(0, min_mid - mid)
-        wa = jnp.pad(k2a[0, 0] * sa[None, :], ((0, 0), (0, pad)))
-        b1 = jnp.pad(ba, (0, pad))
-        w3 = jnp.pad(k2b * sb[None, None, None, :],
-                     ((0, 0), (0, 0), (0, pad), (0, pad)))
-        b2 = jnp.pad(bb, (0, pad))
-        wc = jnp.pad(k2c[0, 0] * sc[None, :], ((0, pad), (0, 0)))
-        m = mid + pad
-        return (wa.astype(dtype), b1,
-                w3.reshape(9 * m, m).astype(dtype), b2,
-                wc.astype(dtype), bc)
+        """Fold one block's branch2 tower (Cmid padded to the 128-lane tile
+        for the Mosaic sliced weight DMAs — see _fold_tower)."""
+        return _fold_tower(sub[f"res{prefix}_branch2a"]["kernel"],
+                           sub[f"res{prefix}_branch2b"]["kernel"],
+                           sub[f"res{prefix}_branch2c"]["kernel"],
+                           bn(sub, f"bn{prefix}_branch2a"),
+                           bn(sub, f"bn{prefix}_branch2b"),
+                           bn(sub, f"bn{prefix}_branch2c"), dtype, min_mid)
 
     def unit_order(name):
         # identity units are "b"/"c" (res2) or "b1".."b22" (res3/res4)

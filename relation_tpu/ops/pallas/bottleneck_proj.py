@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from relation_tpu.ops.pallas.res4 import _pick_chunk
+
 
 def _proj_kernel(x_hbm, w1, b1p, wa, b1, w3, b2, wc, b3, out, xv, y1, y1p, sem,
                  *, H, W, Cin, Cmid, Cout, stride, chunk):
@@ -81,22 +83,17 @@ def _proj_kernel(x_hbm, w1, b1p, wa, b1, w3, b2, wc, b3, out, xv, y1, y1p, sem,
         out[c0:c0 + chunk, :] = jnp.maximum(sc + y3, 0.0).astype(dt)
 
 
-def _pick_chunk(R: int, Cout: int) -> int:
-    """Largest divisor of R keeping the two f32 [chunk, Cout] temporaries
-    under ~2.5 MB each."""
-    cap = max(8, (2_500_000 // (Cout * 4)) // 8 * 8)
-    for c in range(min(R, cap), 7, -8):
-        if R % c == 0:
-            return c
-    return R
-
-
 def fused_proj_bottleneck(x, w1, b1p, wa, b1, w3, b2, wc, b3, *, stride=1,
                           interpret=None):
     """x: [H, W, Cin]; w1: [Cin, Cout]; wa: [Cin, Cmid]; w3: [9*Cmid, Cmid]
     (tap-major); wc: [Cmid, Cout]; biases f32. Returns [H/stride, W/stride, Cout].
     """
     Hi, Wi, Cin = x.shape
+    if Hi % stride or Wi % stride:
+        raise ValueError(
+            f"fused_proj_bottleneck needs stride-divisible spatial dims, got "
+            f"{(Hi, Wi)} at stride {stride}: the conv path uses ceil-mode "
+            f"output sizes for odd dims, which this kernel does not replicate")
     Cmid = wa.shape[1]
     Cout = wc.shape[1]
     H, W = Hi // stride, Wi // stride

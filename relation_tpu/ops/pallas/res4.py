@@ -50,19 +50,20 @@ def _res4_kernel(x_hbm, wa_hbm, b1, w3_hbm, b2, wc_hbm, b3, out,
     # fails when cols < 128 (res2's Cmid=64).
     C = wa_v.shape[0] // 2
 
-    def _parts(i, slot):
-        return ((wa_hbm, C, wa_v, 0), (w3_hbm, 9 * Cmid, w3_v, 1),
-                (wc_hbm, Cmid, wc_v, 2))
+    _PARTS = ((wa_hbm, C, wa_v, 0), (w3_hbm, 9 * Cmid, w3_v, 1),
+              (wc_hbm, Cmid, wc_v, 2))
 
     def fetch(i, slot):
         """Start the weight DMAs for block i into buffer ``slot``."""
-        for hbm, rows, vmem, s in _parts(i, slot):
+        for hbm, rows, vmem, s in _PARTS:
             pltpu.make_async_copy(hbm.at[pl.ds(i * rows, rows), :],
                                   vmem.at[pl.ds(slot * rows, rows), :],
                                   wsem.at[slot, s]).start()
 
     def wait(slot):
-        for hbm, rows, vmem, s in _parts(0, slot):
+        # reconstructs a descriptor shape-identical to fetch()'s to wait on
+        # the matching semaphore (src block index is irrelevant for the wait)
+        for hbm, rows, vmem, s in _PARTS:
             pltpu.make_async_copy(hbm.at[pl.ds(0, rows), :],
                                   vmem.at[pl.ds(slot * rows, rows), :],
                                   wsem.at[slot, s]).wait()
@@ -199,7 +200,9 @@ def _fused_bottleneck_stack_impl(x, wa, b1, w3, b2, wc, b3,
 def fused_bottleneck_stack_vmem_bytes(H: int, W: int, C: int,
                                       Cmid: int) -> int:
     """Kernel VMEM working set (resident state + scratch + double-buffered
-    weights) — the caller falls back to the XLA path when this exceeds VMEM."""
+    weights) — a sizing tool (tools/microbench_res4.py); callers that enable
+    the kernel at non-flagship buckets should check this against the ~100 MB
+    vmem budget themselves, Mosaic errors out at compile time past it."""
     R = H * W
     out_blk = R * C * 2
     y1 = R * Cmid * 2

@@ -48,13 +48,56 @@ def _stem_kernel(x_ref, w_ref, sb_ref, out_ref, *, rows, wo, kc):
     out_ref[:] = y.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def stem_reference(s2d: jnp.ndarray, w4: jnp.ndarray, scale: jnp.ndarray,
+                   bias: jnp.ndarray) -> jnp.ndarray:
+    """XLA formulation of the same math (16 tap slices + one matmul + bn +
+    relu) — the oracle for tests and the backward path of the custom vjp."""
+    K, Ho, Wo = s2d.shape
+    sp = jnp.pad(s2d.astype(jnp.bfloat16), ((0, 0), (2, 1), (2, 1)))
+    taps = jnp.concatenate(
+        [sp[:, dh:dh + Ho, dw:dw + Wo] for dh in range(4) for dw in range(4)],
+        axis=0)                                                  # [16K, Ho, Wo]
+    acc = jax.lax.dot_general(
+        w4.astype(jnp.bfloat16), taps.reshape(16 * K, Ho * Wo),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    y = jnp.maximum(acc * scale[:, None] + bias[:, None], 0.0)
+    return y.astype(jnp.bfloat16).reshape(64, Ho, Wo)
+
+
 def stem_conv1_bn_relu(s2d: jnp.ndarray, w4: jnp.ndarray, scale: jnp.ndarray,
                        bias: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """s2d: [12, Ho, Wo] planar image; w4: [192, 64] (conv1_w4);
     scale/bias: [64] folded bn_conv1. Returns relu(bn(conv1)) as planar
     [64, Ho, Wo] bfloat16. Requires Ho % 16 == 0 (Wo % 128 == 0 for the
-    compiled path; any Wo in interpret mode)."""
+    compiled path; any Wo in interpret mode).
+
+    custom_vjp (backward = jax.vjp of ``stem_reference``): without it, jax's
+    linearize re-traces the raw Pallas kernel outside its grid context and
+    crashes the training step (jit(vmap(grad))) on TPU with
+    "assert env.grid_context is not None"."""
+    return _stem_vjp(s2d, w4, scale, bias, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _stem_vjp(s2d, w4, scale, bias, interpret):
+    return _stem_impl(s2d, w4, scale, bias, interpret)
+
+
+def _stem_fwd(s2d, w4, scale, bias, interpret):
+    return _stem_impl(s2d, w4, scale, bias, interpret), (s2d, w4, scale, bias)
+
+
+def _stem_bwd(interpret, res, g):
+    _, vjp = jax.vjp(stem_reference, *res)
+    return vjp(g)
+
+
+_stem_vjp.defvjp(_stem_fwd, _stem_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _stem_impl(s2d: jnp.ndarray, w4: jnp.ndarray, scale: jnp.ndarray,
+               bias: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     K, Ho, Wo = s2d.shape
     R = 16
     assert Ho % R == 0, (Ho, R)

@@ -304,3 +304,37 @@ def test_all_pallas_trunk_matches_plain(rng):
     got = np.asarray(ResNet101C4().apply(params, x, None, folded), np.float32)
     np.testing.assert_allclose(got, ref, rtol=0.2, atol=0.2)
     assert np.corrcoef(got.ravel(), ref.ravel())[0, 1] > 0.999
+
+
+def test_stem_kernel_gradients_via_reference_vjp(rng):
+    """grad through the stem kernel (custom_vjp -> stem_reference backward)
+    matches grad of the reference directly — and, critically, survives the
+    training-step transform stack jit(vmap(grad)) that crashed the raw kernel
+    on TPU (pallas grid context lost during linearize)."""
+    from relation_tpu.ops.pallas.stem import stem_conv1_bn_relu, stem_reference
+
+    s2d = jnp.asarray(rng.randn(12, 16, 128).astype(np.float32))
+    w4 = jnp.asarray(rng.randn(192, 64).astype(np.float32) * 0.05)
+    scale = jnp.asarray(rng.uniform(0.5, 2, 64).astype(np.float32))
+    bias = jnp.asarray(rng.randn(64).astype(np.float32))
+
+    def loss_k(w4, scale, bias, s2d):
+        return jnp.sum(jnp.abs(stem_conv1_bn_relu(
+            s2d, w4, scale, bias, True).astype(jnp.float32)))
+
+    def loss_r(w4, scale, bias, s2d):
+        return jnp.sum(jnp.abs(stem_reference(
+            s2d, w4, scale, bias).astype(jnp.float32)))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(w4, scale, bias, s2d)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(w4, scale, bias, s2d)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.05, atol=0.05)
+
+    # the train-step transform stack: jit(vmap over batch of grad)
+    batched = jax.jit(jax.vmap(jax.grad(
+        lambda img: jnp.sum(jnp.abs(stem_conv1_bn_relu(
+            img, w4, scale, bias, True).astype(jnp.float32))))))
+    g = batched(jnp.stack([s2d, s2d * 0.5]))
+    assert np.asarray(g).shape == (2, 12, 16, 128)

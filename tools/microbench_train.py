@@ -1,0 +1,94 @@
+"""Train-step latency on the real TPU chip: flagship model, one 608x1024 image.
+
+The full reference training step (backbone fwd+bwd, RPN, on-device proposals
+with 6000-box NMS, proposal_target sampling, relation head, learned-NMS head
+with nms_multi_target matching, OHEM, losses, SGD update) as ONE jit region —
+the TPU-native replacement for the reference's executor forward/backward + 4
+CustomOp host round-trips + kvstore update (train_end2end.py, module.py:993-1038).
+
+Reference scale for context: 4x Titan X, ~1.1 s/step at batch 4 (1 image/GPU,
+8 epochs over ~120k images in ~2 days per the paper's setup) — i.e. ~275 ms
+per image-step per GPU.
+"""
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    from __graft_entry__ import _flagship_cfg
+    from relation_tpu.core.trainer import (build_model, make_train_step,
+                                           create_train_state)
+
+    cfg = _flagship_cfg()
+    # timing-run numerics: the reference never trains from random init (always
+    # ImageNet-pretrained, train_end2end.py); at lr 5e-4 a random-init step on
+    # a random image diverges to NaN by step 2. Tiny lr + grad clip keep the
+    # chained steps finite without changing the timed computation.
+    cfg.TRAIN.lr = 1e-5
+    cfg.TRAIN.warmup = False
+    cfg.TPU.GRAD_CLIP = 1.0
+    model = build_model(cfg)
+    H, W = 608, 1024
+    rng = np.random.RandomState(0)
+
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               jnp.zeros((12, H // 2, W // 2)),
+                               jnp.asarray([float(H), float(W), 1.0]))
+    max_gt = int(cfg.TPU.get("MAX_GT", 100))
+    step = make_train_step(model, cfg, feat_hw=(H // 16, W // 16),
+                           max_gt=max_gt)
+
+    B = 1
+    gt = np.zeros((B, max_gt, 5), np.float32)
+    gv = np.zeros((B, max_gt), bool)
+    gt[0, 0] = [30, 40, 260, 300, 17]
+    gt[0, 1] = [300, 200, 580, 420, 3]
+    gt[0, 2] = [100, 350, 220, 500, 56]
+    gv[0, :3] = True
+    batch = {
+        "image": jnp.asarray(rng.randn(B, 12, H // 2, W // 2)
+                             .astype(np.float32) * 40),
+        "im_info": jnp.asarray([[600.0, 1000.0, 1.667]], jnp.float32),
+        "gt_boxes": jnp.asarray(gt),
+        "gt_valid": jnp.asarray(gv),
+    }
+
+    jstep = jax.jit(step, donate_argnums=(0,))
+
+    # Async-tunnel methodology: each step's state depends on the previous one,
+    # so chaining N dispatches and fetching once serializes real executions;
+    # subtract the measured fetch round trip.
+    import time
+    st2, m = jstep(jax.device_put(state), batch)     # compile + warm
+    np.asarray(m["total_loss"])
+    g = jax.jit(lambda a: a + 1)
+    np.asarray(g(jnp.zeros(())))
+    rts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(g(jnp.zeros(())))
+        rts.append(time.perf_counter() - t0)
+    rt = min(rts)
+
+    n = 20
+    best = float("inf")
+    cur = st2
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            cur, m = jstep(cur, batch)
+        loss = float(np.asarray(m["total_loss"]))
+        best = min(best, (time.perf_counter() - t0 - rt) / n * 1e3)
+    print(f"train step (B=1, 608x1024, e2e incl. learned NMS): {best:.2f} ms"
+          f"  (loss={loss:.3f})")
+    print(f"reference scale: ~275 ms/image-step on one Titan X -> "
+          f"{275.0 / best:.0f}x")
+
+
+if __name__ == "__main__":
+    main()
