@@ -31,10 +31,6 @@ def parse_args():
     return p.parse_args()
 
 
-def synthetic_roidb(n, rng):
-    return None  # handled by synthetic batches directly
-
-
 def main():
     args = parse_args()
     import jax
@@ -125,8 +121,10 @@ def main():
     total_steps = 0
     for epoch in range(begin_epoch, int(cfg.TRAIN.end_epoch)):
         for i, batch in enumerate(batches(epoch)):
-            fh = batch["image"].shape[1] // int(cfg.network.RPN_FEAT_STRIDE)
-            fw = batch["image"].shape[2] // int(cfg.network.RPN_FEAT_STRIDE)
+            from relation_tpu.data.image import batch_image_hw
+            ih, iw = batch_image_hw(batch["image"])
+            fh = ih // int(cfg.network.RPN_FEAT_STRIDE)
+            fw = iw // int(cfg.network.RPN_FEAT_STRIDE)
             if (fh, fw) not in step_fns:
                 step_fns[(fh, fw)] = jax.jit(make_train_step(
                     model, cfg, feat_hw=(fh, fw), max_gt=int(cfg.TPU.MAX_GT)))

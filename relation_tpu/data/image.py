@@ -113,3 +113,14 @@ def to_s2d_planar(im_hwc: np.ndarray) -> np.ndarray:
         im_hwc.reshape(H // 2, 2, W // 2, 2, C)
         .transpose(1, 3, 4, 0, 2)
         .reshape(4 * C, H // 2, W // 2))
+
+
+def batch_image_hw(batch_image) -> tuple[int, int]:
+    """Original (H, W) of a batched image tensor in either loader layout:
+    s2d planar [B, 12, H/2, W/2] (TPU.S2D_INPUT, to_s2d_planar) or NHWC
+    [B, H, W, 3]. The train driver derives the RPN feature grid from this —
+    reading shape[1]/shape[2] directly silently yields a 0-height grid for
+    planar batches."""
+    if batch_image.ndim == 4 and batch_image.shape[1] == 12:
+        return batch_image.shape[2] * 2, batch_image.shape[3] * 2
+    return batch_image.shape[1], batch_image.shape[2]

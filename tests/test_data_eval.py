@@ -150,3 +150,11 @@ def test_train_loader_batches(coco_json, rng):
     assert len(items) == 3
     iid, img, info = items[0]
     assert img.ndim == 3 and info.shape == (3,)
+
+
+def test_batch_image_hw_both_layouts():
+    """feat-grid derivation must see through the s2d planar loader layout
+    (regression: the train driver read shape[1]//16 == 0 for planar batches)."""
+    from relation_tpu.data.image import batch_image_hw
+    assert batch_image_hw(np.zeros((2, 608, 1024, 3))) == (608, 1024)
+    assert batch_image_hw(np.zeros((2, 12, 304, 512))) == (608, 1024)
