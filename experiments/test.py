@@ -105,11 +105,10 @@ def main():
             if d is None:
                 continue
             im = load_image_bgr(entry["image"])
-            out = draw_detections(im, d, names, score_thresh=max(args.thresh, 0.3))
-            from PIL import Image
-            Image.fromarray(out[:, :, ::-1].astype(np.uint8)).save(
-                os.path.join(vis_dir,
-                             os.path.basename(str(entry["image"])) + ".png"))
+            draw_detections(
+                im, d, names, thresh=max(args.thresh, 0.3),
+                out_path=os.path.join(
+                    vis_dir, os.path.basename(str(entry["image"])) + ".png"))
         logger.info(f"wrote visualizations: {vis_dir}")
     print(results)
 

@@ -158,3 +158,15 @@ def test_batch_image_hw_both_layouts():
     from relation_tpu.data.image import batch_image_hw
     assert batch_image_hw(np.zeros((2, 608, 1024, 3))) == (608, 1024)
     assert batch_image_hw(np.zeros((2, 12, 304, 512))) == (608, 1024)
+
+
+def test_draw_detections_writes_png(tmp_path):
+    """--vis path: render detections to a file (reference tester.py
+    vis_all_detection equivalent) with the CLI's calling convention."""
+    from relation_tpu.utils.vis import draw_detections
+    im = np.random.RandomState(0).rand(60, 80, 3) * 255
+    dets = np.asarray([[1, 0.9, 5, 5, 40, 30], [2, 0.4, 10, 20, 70, 55]])
+    out = str(tmp_path / "v.png")
+    draw_detections(im, dets, ["bg", "cat", "dog"], thresh=0.3, out_path=out)
+    import os
+    assert os.path.getsize(out) > 0

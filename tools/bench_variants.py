@@ -1,0 +1,109 @@
+"""Per-variant end-to-end TPU latency: the reference's three model families.
+
+Same async-tunnel methodology as bench.py (serial scan chain with a data
+dependency, fetch once). Reference numbers (README.md "Main Results",
+Titan X bs=1): plain 2FC+nms 0.168 s; DCN 2FC+relation+learn-nms 0.188 s;
+FPN 2FC+relation+learn-nms 0.232 s; flagship 2FC+relation+learn-nms 0.175 s.
+
+Run AFTER bench.py (each variant costs a full XLA compile, ~10 min cold).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def measure(fn, params, image, im_info, n=100, k=3):
+    import jax
+    import jax.numpy as jnp
+
+    def chained(params, image, im_info, n):
+        def body(img, _):
+            dets = fn(params, img, im_info)
+            img = img + jnp.abs(dets[0, 1]) * 1e-30
+            return img, dets[0, 1]
+        img, outs = jax.lax.scan(body, image, None, length=n)
+        return outs[-1]
+
+    jfn = jax.jit(chained, static_argnums=(3,))
+    _ = np.asarray(jfn(params, image, im_info, n))
+    g = jax.jit(lambda a: a + 1)
+    _ = np.asarray(g(jnp.zeros(())))
+    rts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(g(jnp.zeros(())))
+        rts.append(time.perf_counter() - t0)
+    rt = min(rts)
+    best = float("inf")
+    for _ in range(k):
+        t0 = time.perf_counter()
+        _ = np.asarray(jfn(params, image, im_info, n))
+        best = min(best, time.perf_counter() - t0 - rt)
+    return best / n * 1e3
+
+
+def build(symbol, learn_nms=True):
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship_cfg
+    from relation_tpu.core.trainer import build_model
+    from relation_tpu.core.predictor import make_predict_fn
+
+    cfg = _flagship_cfg()
+    cfg.symbol = symbol
+    cfg.TRAIN.LEARN_NMS = learn_nms
+    cfg.TEST.LEARN_NMS = learn_nms
+    if "fpn" in symbol:
+        cfg.network.RPN_FEAT_STRIDE = 16      # flagship pyramid base
+    model = build_model(cfg)
+    H, W = 608, 1024
+    n0 = int(cfg.TEST.FIRST_N) + 1
+    rois0 = jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (n0, 1))
+    im_info = jnp.asarray([600.0, 1000.0, 1.667], jnp.float32)
+    if "fpn" in symbol:
+        image = jnp.zeros((H, W, 3), jnp.float32)
+    else:
+        image = jnp.zeros((12, H // 2, W // 2), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), image, rois0, im_info,
+                        n0)["params"]
+    predict = make_predict_fn(model, cfg, (H // 16, W // 16))
+
+    def fn(params, img, im_info):
+        return predict(params, img, im_info)["dets"]
+    return fn, params, image, im_info
+
+
+def main():
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    variants = [
+        # (label, symbol, learn_nms, reference seconds)
+        ("plain_2fc_nms", "resnet_v1_101_rcnn", False, 0.168),
+        ("dcn_relation_learn_nms",
+         "resnet_v1_101_rcnn_dcn_attention_1024_pairwise_position_multi_head_16_learn_nms",
+         True, 0.188),
+        ("fpn_relation_learn_nms",
+         "resnet_v1_101_rcnn_fpn_attention_1024_pairwise_position_multi_head_16_learn_nms",
+         True, 0.232),
+    ]
+    for label, symbol, ln, ref_s in variants:
+        try:
+            fn, params, image, im_info = build(symbol, ln)
+            img = jnp.asarray(rng.randn(*image.shape).astype(np.float32) * 40)
+            ms = measure(fn, params, img, im_info)
+            print(json.dumps({"variant": label, "value": round(ms, 3),
+                              "unit": "ms/image",
+                              "vs_baseline": round(ref_s * 1e3 / ms, 1)}),
+                  flush=True)
+        except Exception as e:  # keep going: each variant is independent
+            print(json.dumps({"variant": label,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
