@@ -37,7 +37,12 @@ def parse_args():
                    help="write detection renderings next to the cache")
     p.add_argument("--dataset-path", default="",
                    help="override cfg.dataset.dataset_path")
-    return p.parse_args()
+    # tolerate the sibling driver's flags: rcnn_end2end_train_test.py
+    # forwards one argv to both train and test (reference surface has no args)
+    args, unknown = p.parse_known_args()
+    if unknown:
+        print(f"[{__name__}] ignoring flags for the other driver: {unknown}")
+    return args
 
 
 def main():

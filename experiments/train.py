@@ -28,7 +28,12 @@ def parse_args():
                    help="cap total optimizer steps (0 = full schedule)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny backbone (debug)")
-    return p.parse_args()
+    # tolerate the sibling driver's flags: rcnn_end2end_train_test.py
+    # forwards one argv to both train and test (reference surface has no args)
+    args, unknown = p.parse_known_args()
+    if unknown:
+        print(f"[{__name__}] ignoring flags for the other driver: {unknown}")
+    return args
 
 
 def main():
