@@ -170,12 +170,52 @@ def deformable_psroi_pool(feat: jnp.ndarray, rois: jnp.ndarray,
     yc = jnp.clip(ys, 0.0, H - 1.0)
 
     if G == 1:
-        vals = _bilinear_clamp_all(feat, yc, xc)                # [R,P,P,S,S,C]
-        vals = vals * ok[..., None]
-        cnt = jnp.sum(ok, axis=(3, 4)).astype(feat.dtype)       # [R,P,P]
-        summed = jnp.sum(vals, axis=(3, 4))                     # [R,P,P,C]
-        out = jnp.where(cnt[..., None] > 0, summed / jnp.maximum(cnt[..., None], 1),
-                        0.0)
+        # Separable MXU formulation (zero gathers — the gather form costs
+        # 8.4 ms at 300 ROIs on v5e, this ~0.5-1.3 ms). Per bin the S x S
+        # sample grid factors per axis: x depends only on iw, y only on ih,
+        # and the in-range mask is ok(ih, iw) = oky(ih) & okx(iw), so both
+        # the masked sample sum AND the in-range count separate:
+        #   sum  = (sum_ih oky*row(y)) @ feat @ (sum_iw okx*row(x))^T
+        #   cnt  = cnt_y * cnt_x
+        # row(.) is the bilinear hat against the integer grid — identical
+        # weights to _bilinear_clamp_all's clamped corners.
+        ys1 = ys[..., :, 0]                                     # [R,P,P,S] (ih)
+        xs1 = xs[..., 0, :]                                     # [R,P,P,S] (iw)
+        oky = (ys1 > -0.5) & (ys1 < H - 0.5)
+        okx = (xs1 > -0.5) & (xs1 < W - 0.5)
+        ycl = jnp.clip(ys1, 0.0, H - 1.0)
+        xcl = jnp.clip(xs1, 0.0, W - 1.0)
+
+        def interp_rows(coords, okm, dim):
+            g = jnp.arange(dim, dtype=jnp.float32)
+            w = jnp.maximum(1.0 - jnp.abs(coords[..., None] - g), 0.0)
+            return jnp.sum(w * okm[..., None], axis=-2)         # [R,P,P,dim]
+
+        By = interp_rows(ycl, oky, H)                           # [R,P,P,H]
+        Bx = interp_rows(xcl, okx, W)                           # [R,P,P,W]
+        cnt = (jnp.sum(oky, -1) * jnp.sum(okx, -1)).astype(feat.dtype)
+
+        dt = jnp.bfloat16 if feat.dtype == jnp.bfloat16 else jnp.float32
+        fdt = feat.astype(dt)
+        if trans is None:
+            # no per-bin y-shift: By is constant along pw — one big matmul
+            a = jnp.einsum("rph,hwc->rpwc", By[:, :, 0].astype(dt), fdt,
+                           preferred_element_type=jnp.float32)  # [R,P,W,C]
+            summed = jnp.einsum("rpwc,rpqw->rpqc", a, Bx.astype(dt),
+                                preferred_element_type=jnp.float32)
+        else:
+            # per-bin shifts: chunk over the bin row to bound the [.,W,C]
+            # intermediate at the no-trans size
+            rows = []
+            for ph in range(P):
+                a = jnp.einsum("rqh,hwc->rqwc", By[:, ph].astype(dt), fdt,
+                               preferred_element_type=jnp.float32)
+                rows.append(jnp.einsum("rqwc,rqw->rqc", a, Bx[:, ph].astype(dt),
+                                       preferred_element_type=jnp.float32))
+            summed = jnp.stack(rows, axis=1)                    # [R,P,P,C]
+        summed = summed.astype(feat.dtype)
+        out = jnp.where(cnt[..., None] > 0,
+                        summed / jnp.maximum(cnt[..., None], 1), 0.0)
         return out[..., :output_dim]
 
     # group_size > 1: position-sensitive channel selection per bin
