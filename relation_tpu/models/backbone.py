@@ -441,7 +441,10 @@ class DCNBottleneck(nn.Module):
         batched = y.ndim == 4
         yy = y[0] if batched else y
         oo = offset[0] if batched else offset
-        d = deformable_conv(yy.astype(jnp.float32), oo, w, kernel=3,
+        # gathers + GEMM ride the same bf16 policy as every other backbone
+        # conv (offsets stay f32); accumulation is f32 inside deformable_conv
+        d = deformable_conv(yy.astype(self.dtype), oo,
+                            w.astype(self.dtype), kernel=3,
                             dilation=self.dilation,
                             num_groups=self.deform_groups)
         y = (d[None] if batched else d).astype(self.dtype)

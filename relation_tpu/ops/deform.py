@@ -46,8 +46,10 @@ def _bilinear_zero_pad(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
         v = flat[(yi * W + xi).reshape(-1)].reshape(yy.shape + (C,))
         return v * ok[..., None]
 
-    ly = y - y0
-    lx = x - x0
+    # interpolation weights follow the feature dtype (bf16 on the TPU conv
+    # policy, f32 when the caller passes f32 — the oracle-tested path)
+    ly = (y - y0).astype(feat.dtype)
+    lx = (x - x0).astype(feat.dtype)
     v00 = corner(y0, x0)
     v01 = corner(y0, x0 + 1)
     v10 = corner(y0 + 1, x0)

@@ -64,10 +64,9 @@ def build(symbol, learn_nms=True):
     n0 = int(cfg.TEST.FIRST_N) + 1
     rois0 = jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (n0, 1))
     im_info = jnp.asarray([600.0, 1000.0, 1.667], jnp.float32)
-    if "fpn" in symbol:
-        image = jnp.zeros((H, W, 3), jnp.float32)
-    else:
-        image = jnp.zeros((12, H // 2, W // 2), jnp.float32)
+    # all trunks share ResNet101C4's stem dispatch: the s2d planar layout is
+    # the production input for every family (pred_eval converts host-side)
+    image = jnp.zeros((12, H // 2, W // 2), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), image, rois0, im_info,
                         n0)["params"]
     predict = make_predict_fn(model, cfg, (H // 16, W // 16))
