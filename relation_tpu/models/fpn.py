@@ -245,31 +245,64 @@ def generate_proposals_fpn(rpn_out: dict, anchors: dict, im_info,
     rpn_out: {stride: (rpn_cls [h,w,A,2], rpn_bbox [h,w,A,4])}.
     Returns (rois [post_N, 4], scores [post_N], real [post_N]).
     """
-    all_scores, all_boxes, all_ok = [], [], []
+    # TPU layout note (mirrors models/rpn.py::generate_proposals): the decode
+    # runs on dense [N] coordinate VECTORS — an [N, 4] box tensor over all
+    # ~155k pyramid anchors is lane-padded 4->128 on TPU (~80 MB). The
+    # per-level anchor grids are jit constants (static shapes), so their
+    # planar transpose is free at compile time. Measured with all levels as
+    # traced args: ~1.6 ms (top_k over 155k ~150 us + 4 planar gathers
+    # ~360 us + presorted NMS + decode ~13 us).
+    # MEASUREMENT TRAP: timing this with closed-over level outputs (jit
+    # constants) reads ~3x slower — big padded constants are re-staged per
+    # call. Decompose FPN stages only with traced-arg harnesses.
+    sc, px1, py1, px2, py2 = [], [], [], [], []
     for stride, (cls, bbox) in rpn_out.items():
         H, W, A, _ = cls.shape
-        fg = jax.nn.softmax(cls, axis=-1)[..., 1].reshape(-1)
-        deltas = bbox.reshape(-1, 4)
-        props = bbox_pred(anchors[stride], deltas)
-        props = clip_boxes(props, (im_info[0], im_info[1]))
+        fg = jax.nn.softmax(cls, axis=-1)[..., 1].reshape(-1)   # (h, w, a)
+        aT = anchors[stride].T                                  # [4, K] const
+        ax1, ay1, ax2, ay2 = aT[0], aT[1], aT[2], aT[3]
+        dx = bbox[..., 0].reshape(-1)
+        dy = bbox[..., 1].reshape(-1)
+        dw = bbox[..., 2].reshape(-1)
+        dh = bbox[..., 3].reshape(-1)
+
+        aw = ax2 - ax1 + 1.0
+        ah = ay2 - ay1 + 1.0
+        acx = ax1 + 0.5 * (aw - 1.0)
+        acy = ay1 + 0.5 * (ah - 1.0)
+        pcx = dx * aw + acx
+        pcy = dy * ah + acy
+        pw = jnp.exp(dw) * aw
+        ph = jnp.exp(dh) * ah
+        x1 = jnp.clip(pcx - 0.5 * (pw - 1.0), 0, im_info[1] - 1)
+        y1 = jnp.clip(pcy - 0.5 * (ph - 1.0), 0, im_info[0] - 1)
+        x2 = jnp.clip(pcx + 0.5 * (pw - 1.0), 0, im_info[1] - 1)
+        y2 = jnp.clip(pcy + 0.5 * (ph - 1.0), 0, im_info[0] - 1)
+
         valid_h = jnp.floor(im_info[0] / stride).astype(jnp.int32)
         valid_w = jnp.floor(im_info[1] / stride).astype(jnp.int32)
         cell_ok = ((jnp.arange(H)[:, None] < valid_h) &
                    (jnp.arange(W)[None, :] < valid_w))
         cell_ok = jnp.broadcast_to(cell_ok[:, :, None], (H, W, A)).reshape(-1)
-        ok = cell_ok & filter_boxes_mask(props, min_size * im_info[2])
-        all_scores.append(jnp.where(ok, fg, -1e10))
-        all_boxes.append(props)
-        all_ok.append(ok)
-    scores = jnp.concatenate(all_scores)
-    boxes = jnp.concatenate(all_boxes, axis=0)
+        ms = min_size * im_info[2]
+        size_ok = ((x2 - x1 + 1.0) >= ms) & ((y2 - y1 + 1.0) >= ms)
+        sc.append(jnp.where(cell_ok & size_ok, fg, -1e10))
+        px1.append(x1)
+        py1.append(y1)
+        px2.append(x2)
+        py2.append(y2)
 
+    scores = jnp.concatenate(sc)
     k = min(pre_nms_top_n, scores.shape[0])
     top_scores, top_idx = jax.lax.top_k(scores, k)
-    top_boxes = boxes[top_idx]
+    x1 = jnp.concatenate(px1)[top_idx]
+    y1 = jnp.concatenate(py1)[top_idx]
+    x2 = jnp.concatenate(px2)[top_idx]
+    y2 = jnp.concatenate(py2)[top_idx]
+    top_bT = jnp.stack([x1, y1, x2, y2], axis=0)                # [4, k] planar
     top_valid = top_scores > -1e9
     # top_k output is descending -> presorted single-launch NMS sweep
     # (see models/rpn.py::generate_proposals)
-    keep_idx, real = nms_topk_presorted(top_boxes.T, top_scores, top_valid,
+    keep_idx, real = nms_topk_presorted(top_bT, top_scores, top_valid,
                                         nms_thresh, post_nms_top_n)
-    return top_boxes[keep_idx], top_scores[keep_idx], real
+    return top_bT[:, keep_idx].T, top_scores[keep_idx], real
