@@ -138,12 +138,18 @@ class RelationRCNNFPN(nn.Module):
                                      param_dtype=jnp.float32,
                                      kernel_init=_norm_init)
         if self.use_relation:
+            # allow_pallas=False: the pyramid's stride-4/8 convs lose their
+            # space-to-batch rewrites if ANY pallas call consumes conv-derived
+            # tensors (measured +5.6 ms on this graph); all head attention
+            # runs pure-XLA here
             self.relation_1 = RelationModule(index=1, dim_qk=self.head_dim,
                                              dim_out=self.head_dim,
-                                             dtype=self.head_dtype)
+                                             dtype=self.head_dtype,
+                                             allow_pallas=False)
             self.relation_2 = RelationModule(index=2, dim_qk=self.head_dim,
                                              dim_out=self.head_dim,
-                                             dtype=self.head_dtype)
+                                             dtype=self.head_dtype,
+                                             allow_pallas=False)
         self.cls_score = nn.Dense(self.num_classes, name="cls_score",
                                   kernel_init=_norm_init)
         num_reg = 2 if self.class_agnostic else self.num_classes
@@ -154,7 +160,7 @@ class RelationRCNNFPN(nn.Module):
                 num_fg_classes=self.num_classes - 1, first_n=self.first_n,
                 num_thresh=self.num_thresh, class_agnostic=self.class_agnostic,
                 bbox_means=self.bbox_means, bbox_stds=self.bbox_stds,
-                attn_dtype=self.head_dtype)
+                attn_dtype=self.head_dtype, allow_pallas=False)
 
     def features_and_rpn(self, image):
         """image [H, W, 3] -> ({stride: feat}, {stride: (rpn_cls, rpn_bbox)})."""
@@ -303,6 +309,10 @@ def generate_proposals_fpn(rpn_out: dict, anchors: dict, im_info,
     top_valid = top_scores > -1e9
     # top_k output is descending -> presorted single-launch NMS sweep
     # (see models/rpn.py::generate_proposals)
+    # use_kernel=False: the pyramid's stride-4/8 convs are space-to-batch
+    # eligible, and a Pallas NMS call downstream forfeits their s2b rewrites
+    # (+5.6 ms/image measured) — the XLA while-loop sweep keeps them intact
     keep_idx, real = nms_topk_presorted(top_bT, top_scores, top_valid,
-                                        nms_thresh, post_nms_top_n)
+                                        nms_thresh, post_nms_top_n,
+                                        use_kernel=False)
     return top_bT[:, keep_idx].T, top_scores[keep_idx], real

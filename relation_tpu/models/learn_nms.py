@@ -58,6 +58,7 @@ class LearnNMSHead(nn.Module):
     # compute dtype for the NMS relation attention matmuls (bf16 on the TPU
     # fast path; the geometric bias, softmax, and logit layer stay f32)
     attn_dtype: Any = jnp.float32
+    allow_pallas: bool = True   # False = pure-XLA attention (FPN; see relation.py)
 
     @nn.compact
     def __call__(self, cls_score, bbox_pred, rois, roi_feat, im_info,
@@ -121,7 +122,8 @@ class LearnNMSHead(nn.Module):
             active_f = max_per_class >= thr
 
         attention, _ = NMSRelationModule(index=1, groups=16, dim_qk=1024,
-                                         dim_out=128, dtype=self.attn_dtype)(
+                                         dim_out=128, dtype=self.attn_dtype,
+                                         allow_pallas=self.allow_pallas)(
             nms_embedding_feat, nms_position_matrix_t,
             active=None if active_f is None else active_f.astype(jnp.int32))
         feat = nn.relu(nms_embedding_feat + attention)            # [F, C, 128]

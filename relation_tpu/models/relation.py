@@ -66,6 +66,10 @@ class RelationModule(nn.Module):
     dim_qk: int = 1024
     dim_out: int = 1024
     dtype: Any = jnp.float32
+    # False = pure-XLA path (no pallas calls). REQUIRED for graphs whose convs
+    # are space-to-batch eligible (FPN stride-4/8 levels): any pallas call
+    # consuming conv-derived tensors forfeits their s2b rewrites (CLAUDE.md).
+    allow_pallas: bool = True
 
     @nn.compact
     def __call__(self, roi_feat: jnp.ndarray, position_mat_t: jnp.ndarray):
@@ -77,7 +81,8 @@ class RelationModule(nn.Module):
         nongt_feat = roi_feat[:k]                # keys/values: non-gt proposals only
 
         # geometric bias: [4, N, K] -> [1, g, N, K] -> [N, g, K]
-        bias = GeomBiasDense(self.groups, name=f"pair_pos_fc1_{self.index}")(
+        bias = GeomBiasDense(self.groups, fused=self.allow_pallas,
+                             name=f"pair_pos_fc1_{self.index}")(
             position_mat_t[None])[0]
         bias = jnp.transpose(bias, (1, 0, 2))    # [N, g, K]
 
@@ -125,6 +130,7 @@ class NMSRelationModule(nn.Module):
     fully_fused: bool = False   # single-kernel path (ops/pallas/nms_attention);
                                 # measured slightly slower at N=100 (lane padding
                                 # blocks the MXU bias contraction) — off by default
+    allow_pallas: bool = True   # False = pure-XLA dense path (see RelationModule)
 
     @nn.compact
     def __call__(self, roi_feat: jnp.ndarray, position_mat_t: jnp.ndarray,
@@ -152,7 +158,13 @@ class NMSRelationModule(nn.Module):
         bl = self.param(f"nms_linear_out_{self.index}_bias",
                         nn.initializers.zeros, (self.dim_out,))
 
-        if active is not None:
+        if not self.allow_pallas:
+            # XLA-only: dense over every class with the reference geom bias
+            # (the class filter is only a compute saver; masked classes are
+            # zeroed by the learn-NMS head regardless)
+            y = _dense_attention_impl(position_mat_t, q, k, feat, wg, bg, wl,
+                                      c, n, g, dqk, fused_bias=False)
+        elif active is not None:
             # runtime choice by active-class count (measured on v5e, C=80,
             # N=100): the single fused kernel with per-class skip costs
             # ~14 us/active class (5 active -> 166 us, 20 -> 372 us) but
@@ -193,14 +205,17 @@ class NMSRelationModule(nn.Module):
         return jnp.transpose(y, (1, 0, 2)), None                   # [N, C, out]
 
 
-def _dense_attention_impl(position_mat_t, q, k, feat, wg, bg, wl, c, n, g, dqk):
+def _dense_attention_impl(position_mat_t, q, k, feat, wg, bg, wl, c, n, g, dqk,
+                          fused_bias=True):
     """The dense path is HBM-bound on the [C, g, N, N] intermediates (~430 MB
     f32 round trips at C=79, N=100); the matmuls ride q.dtype (bf16 on the TPU
     fast path) to halve that traffic, while the geometric bias and the softmax
     stay f32."""
-    from relation_tpu.ops.pallas.geom_bias import fused_geometric_bias
+    from relation_tpu.ops.pallas.geom_bias import (fused_geometric_bias,
+                                                   geom_bias_reference)
     dt = q.dtype
-    bias = fused_geometric_bias(position_mat_t, wg, bg)          # [C, g, N, N]
+    gb = fused_geometric_bias if fused_bias else geom_bias_reference
+    bias = gb(position_mat_t, wg, bg)                            # [C, g, N, N]
     qg = q.reshape(c, n, g, dqk)
     kg = k.reshape(c, n, g, dqk)
     aff = jnp.einsum("cigd,cjgd->cgij", qg, kg) / jnp.sqrt(float(dqk))

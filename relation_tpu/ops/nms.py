@@ -157,7 +157,7 @@ def greedy_nms_topk(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
 
 
 def nms_topk_presorted(boxesT: jnp.ndarray, scores: jnp.ndarray, valid,
-                       iou_thresh, top_k: int):
+                       iou_thresh, top_k: int, use_kernel: bool | None = None):
     """greedy_nms_topk for inputs ALREADY in descending-score order, with boxes
     in planar [4, N] layout (never materializes a lane-padded [N, 4] array).
 
@@ -170,9 +170,18 @@ def nms_topk_presorted(boxesT: jnp.ndarray, scores: jnp.ndarray, valid,
 
     Returns (indices [top_k] into the sorted input, real [top_k] bool), padded
     by cycling through the kept boxes like greedy_nms_topk.
+
+    ``use_kernel``: None = Pallas sweep on TPU (the flagship fast path).
+    Callers whose upstream graph contains space-to-batch-eligible convs
+    (big-spatial stride-4/8 levels — FPN) MUST pass False: a pallas call
+    consuming conv-derived tensors forfeits those convs' s2b rewrites
+    (~+5.6 ms/image measured on the FPN pyramid; see CLAUDE.md measurement
+    traps), dwarfing the kernel's ~290 us advantage.
     """
     n = boxesT.shape[1]
-    if _on_tpu():
+    if use_kernel is None:
+        use_kernel = True
+    if use_kernel and _on_tpu():
         from relation_tpu.ops.pallas.nms_kernel import nms_keep_sorted
         T = 256 if n >= 256 else 128
         np_pad = -(-n // T) * T
