@@ -37,12 +37,14 @@ def parse_args():
                    help="write detection renderings next to the cache")
     p.add_argument("--dataset-path", default="",
                    help="override cfg.dataset.dataset_path")
-    # tolerate the sibling driver's flags: rcnn_end2end_train_test.py
-    # forwards one argv to both train and test (reference surface has no args)
-    args, unknown = p.parse_known_args()
-    if unknown:
-        print(f"[{__name__}] ignoring flags for the other driver: {unknown}")
-    return args
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny backbone (must match how the ckpt was trained)")
+    # tolerate ONLY the sibling driver's flags: rcnn_end2end_train_test.py
+    # forwards one argv to both train and test (reference surface has no args).
+    # Anything else (e.g. a typoed --thres) is a hard error.
+    p.add_argument("--synthetic", type=int, default=0, help=argparse.SUPPRESS)
+    p.add_argument("--steps", type=int, default=0, help=argparse.SUPPRESS)
+    return p.parse_args()
 
 
 def main():
@@ -51,7 +53,7 @@ def main():
     import numpy as np
     from relation_tpu.config.defaults import load_config
     from relation_tpu.core.trainer import build_model
-    from relation_tpu.core.checkpoint import load_params, restore_checkpoint
+    from relation_tpu.core.checkpoint import load_params
     from relation_tpu.core.evaluator import pred_eval
     from relation_tpu.data.coco import CocoDataset, filter_roidb
     from relation_tpu.utils.logging import create_logger
@@ -84,7 +86,7 @@ def main():
     dataset = CocoDataset(ann, img_root)
     roidb = dataset.roidb()
 
-    model = build_model(cfg)
+    model = build_model(cfg, tiny=args.tiny)
     import jax.numpy as jnp
     n0 = max(int(cfg.TEST.FIRST_N) + 1, 8)
     rois0 = jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (n0, 1))

@@ -28,12 +28,18 @@ def parse_args():
                    help="cap total optimizer steps (0 = full schedule)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny backbone (debug)")
-    # tolerate the sibling driver's flags: rcnn_end2end_train_test.py
-    # forwards one argv to both train and test (reference surface has no args)
-    args, unknown = p.parse_known_args()
-    if unknown:
-        print(f"[{__name__}] ignoring flags for the other driver: {unknown}")
-    return args
+    # tolerate ONLY the sibling driver's flags: rcnn_end2end_train_test.py
+    # forwards one argv to both train and test (reference surface has no args).
+    # Anything else (e.g. a typoed --step) is a hard error.
+    for flag in ("--ckpt", "--test-set", "--dataset-path"):
+        p.add_argument(flag, default="", help=argparse.SUPPRESS)
+    p.add_argument("--thresh", type=float, default=0.0, help=argparse.SUPPRESS)
+    p.add_argument("--nms", type=float, default=0.0, help=argparse.SUPPRESS)
+    for flag in ("--softnms", "--naive-nms", "--ignore-cache", "--vis"):
+        p.add_argument(flag, action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--first-n", type=int, default=0, help=argparse.SUPPRESS)
+    p.add_argument("--merge", type=int, default=-10, help=argparse.SUPPRESS)
+    return p.parse_args()
 
 
 def main():
@@ -43,7 +49,8 @@ def main():
     from relation_tpu.config.defaults import load_config
     from relation_tpu.core.trainer import (build_model, create_train_state,
                                            make_train_step)
-    from relation_tpu.core.checkpoint import save_checkpoint, restore_checkpoint
+    from relation_tpu.core.checkpoint import (save_checkpoint, save_params,
+                                              restore_checkpoint)
     from relation_tpu.parallel.mesh import make_mesh, shard_batch, replicated
     from relation_tpu.utils.logging import create_logger, Speedometer
 
@@ -140,7 +147,12 @@ def main():
             total_steps += 1
             if args.steps and total_steps >= args.steps:
                 break
+        # full resume blob + a params-only file for the eval path; the pair
+        # mirrors the reference's module_checkpoint(.states) + do_checkpoint
+        # params files (train_end2end.py:151-152)
         save_checkpoint(f"{model_prefix}-{epoch + 1:04d}.ckpt", state)
+        save_params(f"{model_prefix}-{epoch + 1:04d}.params.msgpack",
+                    state.params)
         logger.info(f"saved checkpoint epoch {epoch + 1}")
         if args.steps and total_steps >= args.steps:
             break

@@ -57,6 +57,11 @@ def default_config() -> AttrDict:
     dataset.dataset_path = "./data/VOCdevkit"
     dataset.NUM_CLASSES = 21
     dataset.proposal = "rpn"
+    # directory of cached RPN proposal pkls for the separate-RCNN workflow
+    # (the FPN cfgs set this; reference config.py has no default — its
+    # update_config admits unknown NESTED keys silently, config.py:188-189.
+    # We validate recursively instead, so the key needs a default.)
+    dataset.proposal_cache = ""
 
     TRAIN = config.TRAIN = AttrDict()
     TRAIN.lr = 0
@@ -155,8 +160,10 @@ def default_config() -> AttrDict:
     # Compute dtype for conv/matmul heavy paths ("bfloat16" or "float32").
     TPU.COMPUTE_DTYPE = "bfloat16"
     # Compute dtype for the ROI-head FCs + relation attention matmuls
-    # (softmax / cls_score / bbox_pred always run f32).
-    TPU.HEAD_DTYPE = "bfloat16"
+    # (softmax / cls_score / bbox_pred always run f32). Default float32: the
+    # reference head is f32 and mAP parity of a bf16 head is unmeasured in
+    # this environment — bf16 is an opt-in speed knob (costs ~0.2 ms e2e).
+    TPU.HEAD_DTYPE = "float32"
     # Mesh axis name for data parallelism.
     TPU.MESH_DATA_AXIS = "data"
     # Exact on-device greedy NMS: iterate suppression to fixpoint.
@@ -181,27 +188,23 @@ def default_config() -> AttrDict:
 
 
 def _merge(config: AttrDict, overlay: dict, path: str = "") -> None:
-    """Overlay ``overlay`` onto ``config`` with key-existence validation,
-    mirroring reference ``update_config`` (config.py:177-198)."""
+    """Overlay ``overlay`` onto ``config`` with key-existence validation at
+    EVERY nesting level, mirroring reference ``update_config``
+    (config.py:177-198, which raises on unknown keys wherever they appear) —
+    a typo'd ``TRAIN.LEARN_NMs: true`` is an error, not a silent no-op."""
     for k, v in overlay.items():
         if k not in config:
             raise ValueError(
                 f"key {path + k!r} must exist in the default config (reference "
                 "config.py:198 raises the same way)")
-        if isinstance(v, dict):
-            if k == "TRAIN" and "BBOX_WEIGHTS" in v:
-                v = dict(v)
-                v["BBOX_WEIGHTS"] = np.array(v["BBOX_WEIGHTS"])
-            if k == "network" and "PIXEL_MEANS" in v:
-                v = dict(v)
-                v["PIXEL_MEANS"] = np.array(v["PIXEL_MEANS"])
-            for vk, vv in v.items():
-                config[k][vk] = vv
+        if isinstance(v, dict) and isinstance(config[k], AttrDict):
+            _merge(config[k], v, path + k + ".")
+        elif k in ("BBOX_WEIGHTS", "PIXEL_MEANS"):
+            config[k] = np.array(v)
+        elif k == "SCALES":
+            config[k][0] = tuple(v)
         else:
-            if k == "SCALES":
-                config[k][0] = tuple(v)
-            else:
-                config[k] = v
+            config[k] = v
 
 
 def update_config(config: AttrDict, config_file: str) -> AttrDict:

@@ -66,8 +66,21 @@ def save_params(path: str, params) -> str:
 
 
 def load_params(path: str, template):
+    """Load a params tree into ``template``'s structure.
+
+    Accepts BOTH on-disk formats (the reference eval path accepts either the
+    raw epoch params or the processed ``*_test`` checkpoint,
+    lib/utils/load_model.py:46-67):
+      - a params-only msgpack written by :func:`save_params`
+      - a full TrainState blob written by :func:`save_checkpoint` (sniffed by
+        its {step, params, opt_state, rng} key set; the params subtree is
+        extracted)
+    """
     with open(path, "rb") as f:
         restored = serialization.msgpack_restore(f.read())
+    if (isinstance(restored, dict)
+            and {"step", "params", "opt_state", "rng"} <= set(restored)):
+        restored = restored["params"]
     return serialization.from_state_dict(template, restored)
 
 

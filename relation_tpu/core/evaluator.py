@@ -15,7 +15,7 @@ import time
 import numpy as np
 
 from relation_tpu.core.predictor import make_predict_fn, prepare_res4_folded
-from relation_tpu.data.eval import CocoEvaluator
+from relation_tpu.data.eval import CocoEvaluator, format_coco_summary
 
 
 def pred_eval(model, params, cfg, dataset, roidb, logger=None,
@@ -38,7 +38,7 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
         res4_folded = prepare_res4_folded(
             model, params, enabled=bool(cfg.TPU.get("FUSE_RES4", False)))
         dets_per_image = {}
-        t_data = t_net = t_post = 0.0
+        t_data = t_net = t_post = t_fetch = 0.0
         # JAX dispatch is async: keep a window of in-flight device results and
         # fetch behind the dispatch frontier, so host<->device latency (a ~25 ms
         # round trip through this environment's tunnel) overlaps with device
@@ -48,12 +48,17 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
         depth = int(cfg.TPU.get("EVAL_PIPELINE_DEPTH", 8))
 
         def drain(entry):
-            nonlocal t_post
+            # the blocking np.asarray join is accounted to t_fetch, NOT t_net,
+            # so the per-stage telemetry keeps the reference's data/net/post
+            # meaning (core/tester.py:283-295) with an explicit D2H bucket
+            nonlocal t_post, t_fetch
             image_id, dev_dets = entry
-            dets = np.asarray(dev_dets)             # forces/joins execution
             t0 = time.time()
+            dets = np.asarray(dev_dets)             # forces/joins execution
+            t1 = time.time()
+            t_fetch += t1 - t0
             dets_per_image[image_id] = dets[dets[:, 0] >= 0]
-            t_post += time.time() - t0
+            t_post += time.time() - t1
 
         t = time.time()
         for i, (image_id, img, im_info) in enumerate(loader):
@@ -78,13 +83,13 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
             if hasattr(dev_dets, "copy_to_host_async"):
                 dev_dets.copy_to_host_async()
             window.append((image_id, dev_dets))
+            t_net += time.time() - t
             if len(window) >= depth:
                 drain(window.pop(0))
-            t_net += time.time() - t
             if (i + 1) % 200 == 0:
                 n = i + 1
                 log(f"{n}/{len(loader)} data {t_data / n:.4f}s net {t_net / n:.4f}s "
-                    f"post {t_post / n:.4f}s")
+                    f"fetch {t_fetch / n:.4f}s post {t_post / n:.4f}s")
             t = time.time()
         for entry in window:
             drain(entry)
@@ -93,9 +98,28 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
             with open(cache_path, "wb") as f:
                 pickle.dump(dets_per_image, f)
 
+    if cache_path:
+        # detections_<set>_results.json next to the cache, the reference's
+        # results export (lib/dataset/coco.py:185-225 evaluate_detections ->
+        # _write_coco_results)
+        import json
+        res_dir = os.path.join(os.path.dirname(cache_path) or ".", "results")
+        os.makedirs(res_dir, exist_ok=True)
+        image_set = getattr(cfg.dataset, "test_image_set", "test")
+        res_file = os.path.join(res_dir,
+                                f"detections_{image_set}_results.json")
+        with open(res_file, "w") as f:
+            json.dump(dataset.detections_to_json(dets_per_image), f,
+                      sort_keys=True)
+        log(f"wrote results json: {res_file}")
+
     evaluator = CocoEvaluator(dataset)
     for image_id, dets in dets_per_image.items():
         evaluator.add_detections(image_id, dets)
     results = evaluator.summarize()
-    log(" ".join(f"{k}={v:.4f}" for k, v in results.items()))
+    # the reference's per-category AP table + 12-number COCOeval block
+    # (lib/dataset/coco.py:262-282 + cocoeval.summarize)
+    for line in format_coco_summary(
+            results, getattr(dataset, "class_names", None)).splitlines():
+        log(line)
     return results, dets_per_image

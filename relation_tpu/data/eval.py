@@ -5,12 +5,16 @@ vendors it (lib/dataset/pycocotools/cocoeval.py) for exactly this purpose.
 Protocol implemented (matching the published COCOeval bbox semantics):
 - IoU thresholds 0.50:0.05:0.95; 101-point interpolated precision
 - area ranges all/small/medium/large on the annotation area field
-- maxDets=100 for AP; greedy score-ordered matching, non-ignored gts first;
-  a det may fall back to an ignored/crowd gt; crowd IoU = intersection/det-area
+- maxDets 1/10/100 (matching runs once at 100; smaller maxDets slice the
+  per-image score-sorted prefix, exactly cocoeval's accumulate [0:maxDet]);
+  greedy score-ordered matching, non-ignored gts first; a det may fall back to
+  an ignored/crowd gt; crowd IoU = intersection/det-area
 - ignored dets (matched to ignored gt, or unmatched & out of area range) are
   dropped from both TP and FP
 
-Outputs the standard 6 AP numbers (AP, AP50, AP75, APs, APm, APl) plus AR@100.
+Outputs the standard 12 summary numbers (AP, AP50, AP75, APs, APm, APl, AR@1,
+AR@10, AR@100, ARs, ARm, ARl) plus a per-class AP table (the reference prints
+one via _print_detection_metrics, lib/dataset/coco.py:262-282).
 """
 
 from __future__ import annotations
@@ -120,14 +124,18 @@ class CocoEvaluator:
             xywh = (float(x1), float(y1), float(x2 - x1 + 1), float(y2 - y1 + 1))
             self.dets.setdefault((image_id, cls), []).append((float(row[1]), xywh))
 
-    def summarize(self, max_det: int = 100) -> dict:
+    def summarize(self, max_det: int = 100,
+                  max_dets: tuple = (1, 10, 100)) -> dict:
         T = len(IOU_THRS)
         R = len(REC_THRS)
         classes = sorted(set(c for (_, c) in
                              list(self._gt.keys()) + list(self.dets.keys())))
         results = {}
+        # precision at the largest maxDet (all AP stats use maxDets=100);
+        # recall at every maxDet (AR@1 / AR@10 / AR@100 / AR S,M,L)
         prec_all = {k: np.full((T, R, len(classes)), np.nan) for k in AREA_RNG}
-        rec_all = {k: np.full((T, len(classes)), np.nan) for k in AREA_RNG}
+        rec_all = {(k, m): np.full((T, len(classes)), np.nan)
+                   for k in AREA_RNG for m in max_dets}
 
         for ci, cls in enumerate(classes):
             per_area_scores = {k: [] for k in AREA_RNG}
@@ -157,30 +165,40 @@ class CocoEvaluator:
                 ngt = per_area_ngt[k]
                 if ngt == 0:
                     continue
-                scores = np.concatenate(per_area_scores[k])
-                matched = np.concatenate(per_area_matched[k], axis=1)
-                ignored = np.concatenate(per_area_ignored[k], axis=1)
-                order = np.argsort(-scores, kind="mergesort")
-                matched = matched[:, order]
-                ignored = ignored[:, order]
-                for ti in range(T):
-                    keep = ~ignored[ti]
-                    tp = np.cumsum(matched[ti][keep])
-                    fp = np.cumsum(~matched[ti][keep])
-                    if len(tp) == 0:
-                        prec_all[k][ti, :, ci] = 0.0
-                        rec_all[k][ti, ci] = 0.0
-                        continue
-                    rc = tp / ngt
-                    pr = tp / np.maximum(tp + fp, 1e-12)
-                    # monotone-from-right interpolation
-                    pr = np.maximum.accumulate(pr[::-1])[::-1]
-                    idx = np.searchsorted(rc, REC_THRS, side="left")
-                    p = np.zeros(R)
-                    ok = idx < len(pr)
-                    p[ok] = pr[idx[ok]]
-                    prec_all[k][ti, :, ci] = p
-                    rec_all[k][ti, ci] = rc[-1]
+                for m in max_dets:
+                    # cocoeval accumulate: slice each image's score-sorted det
+                    # prefix [0:maxDet] of the SAME maxDets[-1] matching
+                    # (cocoeval.py:321-327) — greedy matching is prefix-stable
+                    scores = np.concatenate(
+                        [s[:m] for s in per_area_scores[k]])
+                    matched = np.concatenate(
+                        [a[:, :m] for a in per_area_matched[k]], axis=1)
+                    ignored = np.concatenate(
+                        [a[:, :m] for a in per_area_ignored[k]], axis=1)
+                    order = np.argsort(-scores, kind="mergesort")
+                    matched = matched[:, order]
+                    ignored = ignored[:, order]
+                    for ti in range(T):
+                        keep = ~ignored[ti]
+                        tp = np.cumsum(matched[ti][keep])
+                        fp = np.cumsum(~matched[ti][keep])
+                        if len(tp) == 0:
+                            rec_all[(k, m)][ti, ci] = 0.0
+                            if m == max_det:
+                                prec_all[k][ti, :, ci] = 0.0
+                            continue
+                        rc = tp / ngt
+                        rec_all[(k, m)][ti, ci] = rc[-1]
+                        if m != max_det:
+                            continue
+                        pr = tp / np.maximum(tp + fp, 1e-12)
+                        # monotone-from-right interpolation
+                        pr = np.maximum.accumulate(pr[::-1])[::-1]
+                        idx = np.searchsorted(rc, REC_THRS, side="left")
+                        p = np.zeros(R)
+                        ok = idx < len(pr)
+                        p[ok] = pr[idx[ok]]
+                        prec_all[k][ti, :, ci] = p
 
         def ap(area, thr=None):
             p = prec_all[area]
@@ -188,12 +206,62 @@ class CocoEvaluator:
                 p = p[IOU_THRS == thr]
             return float(np.nanmean(p)) if not np.all(np.isnan(p)) else float("nan")
 
+        def ar(area, m):
+            r = rec_all[(area, m)]
+            return float(np.nanmean(r)) if not np.all(np.isnan(r)) else float("nan")
+
         results["AP"] = ap("all")
         results["AP50"] = ap("all", 0.5)
         results["AP75"] = ap("all", 0.75)
         results["APs"] = ap("small")
         results["APm"] = ap("medium")
         results["APl"] = ap("large")
-        results["AR100"] = (float(np.nanmean(rec_all["all"]))
-                            if not np.all(np.isnan(rec_all["all"])) else float("nan"))
+        results["AR1"] = ar("all", 1)
+        results["AR10"] = ar("all", 10)
+        results["AR100"] = ar("all", 100)
+        results["ARs"] = ar("small", 100)
+        results["ARm"] = ar("medium", 100)
+        results["ARl"] = ar("large", 100)
+        # per-class AP (IoU .50:.95, all areas, maxDets=100) keyed by class
+        # index — the reference's per-category table (coco.py:262-282)
+        results["per_class"] = {
+            int(cls): (float(np.nanmean(prec_all["all"][:, :, ci]))
+                       if not np.all(np.isnan(prec_all["all"][:, :, ci]))
+                       else float("nan"))
+            for ci, cls in enumerate(classes)}
         return results
+
+
+def format_coco_summary(results: dict, class_names=None) -> str:
+    """The 12-line COCOeval summary block + per-category AP table, formatted
+    exactly like cocoeval.summarize (cocoeval.py:377-409) and
+    _print_detection_metrics (lib/dataset/coco.py:262-282)."""
+    row = (" {:<18} ({}) @[ IoU={:<9} | area={:>6} | "
+           "maxDets={:>3} ] = {:.3f}")
+    lines = []
+    if results.get("per_class"):
+        lines.append("~~~~ Mean and per-category AP @ IoU=0.50,0.95] ~~~~")
+        vals = [v for v in results["per_class"].values() if v == v]
+        lines.append("%-15s %5.1f" % ("all", 100 * (np.mean(vals) if vals
+                                                    else float("nan"))))
+        for cls, v in sorted(results["per_class"].items()):
+            name = (class_names[cls - 1] if class_names and
+                    0 < cls <= len(class_names) else str(cls))
+            lines.append("%-15s %5.1f" % (name, 100 * v))
+        lines.append("~~~~ Summary metrics ~~~~")
+    for key, title, typ, iou, area, md in (
+            ("AP", "Precision", "AP", "0.50:0.95", "all", 100),
+            ("AP50", "Precision", "AP", "0.50", "all", 100),
+            ("AP75", "Precision", "AP", "0.75", "all", 100),
+            ("APs", "Precision", "AP", "0.50:0.95", "small", 100),
+            ("APm", "Precision", "AP", "0.50:0.95", "medium", 100),
+            ("APl", "Precision", "AP", "0.50:0.95", "large", 100),
+            ("AR1", "Recall", "AR", "0.50:0.95", "all", 1),
+            ("AR10", "Recall", "AR", "0.50:0.95", "all", 10),
+            ("AR100", "Recall", "AR", "0.50:0.95", "all", 100),
+            ("ARs", "Recall", "AR", "0.50:0.95", "small", 100),
+            ("ARm", "Recall", "AR", "0.50:0.95", "medium", 100),
+            ("ARl", "Recall", "AR", "0.50:0.95", "large", 100)):
+        lines.append(row.format("Average " + title, typ, iou, area, md,
+                                results.get(key, float("nan"))))
+    return "\n".join(lines)

@@ -1,0 +1,102 @@
+"""Train -> save -> reload-via-the-eval-code-path -> predict equivalence.
+
+The reference's handoff: train_end2end.py:151-152 checkpoints each epoch;
+test.py:67 + lib/utils/load_model.py:46-67 load the trained epoch back for
+eval. Round-1 verdict found our seam broken (test.py --ckpt could not read
+train.py's TrainState blob); these tests pin the whole cycle.
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from relation_tpu.core.checkpoint import (save_checkpoint, save_params,
+                                          load_params, fold_bbox_normalization)
+from relation_tpu.core.predictor import make_predict_fn
+from relation_tpu.core.trainer import build_model, create_train_state, make_train_step
+from tests.test_train_predict import tiny_cfg, make_batch
+
+
+def test_train_save_load_eval_cycle(tmp_path, rng):
+    """2 train steps -> save BOTH formats -> reload each through the test.py
+    code path (fresh-init template + load_params) -> identical detections."""
+    cfg = tiny_cfg()
+    model = build_model(cfg, tiny=True)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               jnp.zeros((64, 64, 3)),
+                               jnp.asarray([64.0, 64.0, 1.0]))
+    step = jax.jit(make_train_step(model, cfg, feat_hw=(4, 4), max_gt=4))
+    batch = jax.tree.map(jnp.asarray, make_batch(rng, B=2))
+    state, _ = step(state, batch)
+    state, _ = step(state, batch)
+
+    ckpt = str(tmp_path / "model-0001.ckpt")            # TrainState blob
+    pfile = str(tmp_path / "model-0001.params.msgpack")  # params only
+    save_checkpoint(ckpt, state)
+    save_params(pfile, state.params)
+
+    predict = make_predict_fn(model, cfg, feat_hw=(4, 4))
+    img, info = batch["image"][0], batch["im_info"][0]
+    want = np.asarray(predict(state.params, img, info)["dets"])
+    assert (want[:, 0] >= 0).any(), "degenerate fixture: no detections"
+
+    # exactly what experiments/test.py does: init a template, load the file
+    template = jax.tree.map(np.asarray, state.params)
+    for path in (ckpt, pfile):
+        loaded = load_params(path, template)
+        got = np.asarray(predict(loaded, img, info)["dets"])
+        np.testing.assert_array_equal(got, want, err_msg=os.path.basename(path))
+
+
+def test_end2end_driver_resolves_trained_params(tmp_path):
+    """rcnn_end2end_train_test computes the path train.py actually writes."""
+    spec = importlib.util.spec_from_file_location(
+        "e2e_driver", os.path.join(os.path.dirname(__file__), "..",
+                                   "experiments", "rcnn_end2end_train_test.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import yaml
+    cfg_file = str(tmp_path / "t.yaml")
+    with open(cfg_file, "w") as f:
+        yaml.dump({"output_path": str(tmp_path / "out"),
+                   "symbol": "resnet_v1_101_rcnn",
+                   "dataset": {"image_set": "train2014"},
+                   "TRAIN": {"end_epoch": 8, "model_prefix": "e2e"}}, f)
+    p = mod.final_params_path(cfg_file)
+    assert p == str(tmp_path / "out" / "t" / "train2014" /
+                    "e2e-0008.params.msgpack")
+
+
+def test_fold_matches_decode_time_unnormalization(rng):
+    """fold_bbox_normalization (reference do_checkpoint, callback.py:54-61) is
+    bit-equivalent to the predictor's decode-time un-normalization: folded
+    params + normalization OFF == raw params + normalization ON."""
+    cfg = tiny_cfg()
+    cfg.TRAIN.LEARN_NMS = False
+    cfg.TEST.LEARN_NMS = False
+    cfg.symbol = "resnet_v1_101_rcnn"
+    model = build_model(cfg, tiny=True)
+    img = jnp.asarray(rng.randn(64, 64, 3).astype(np.float32))
+    info = jnp.asarray([64.0, 64.0, 1.0])
+    sample = jnp.zeros((8, 4)) + jnp.asarray([0, 0, 16, 16.0])
+    params = model.init(jax.random.PRNGKey(1), img, sample, info, 8)["params"]
+
+    predict_norm = make_predict_fn(model, cfg, feat_hw=(4, 4))
+    want = predict_norm(params, img, info)
+
+    import copy
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED = False
+    folded = fold_bbox_normalization(params, tuple(cfg.TRAIN.BBOX_MEANS),
+                                     tuple(cfg.TRAIN.BBOX_STDS))
+    predict_raw = make_predict_fn(model, cfg2, feat_hw=(4, 4))
+    got = predict_raw(folded, img, info)
+
+    np.testing.assert_allclose(np.asarray(got["pred_boxes"]),
+                               np.asarray(want["pred_boxes"]),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["dets"]),
+                               np.asarray(want["dets"]), rtol=1e-5, atol=1e-4)

@@ -1,0 +1,241 @@
+"""Checkpoint-converter round trip on synthesized mx.nd.save bytes.
+
+The reference ships trained weights as MXNet ``mx.nd.save`` files
+(``rcnn_coco-0008.params``) whose entries are ``arg:<name>``/``aux:<name>``
+pairs; ``lib/utils/load_model.py:34-67`` parses them and (``process=True``)
+swaps the std-folded ``*_test`` shadows in (written by
+``core/callback.py:54-61``). No real checkpoint exists in this environment, so
+these tests *synthesize* a byte-exact mx.nd.save file (writer below mirrors
+mxnet-1.x ``NDArray::Save``: NDARRAY_V2 magic, dense storage, TShape, context,
+dtype, raw data) and prove:
+
+  - the byte parser + name mapping + layout transforms round-trip every
+    reference-named leaf of the model bit-exactly,
+  - MXNet-semantics oracles reproduce our forward for the tricky transforms
+    (NCHW-flatten fc_new_1, grouped 1x1-conv linear_out),
+  - ``--use-test-weights`` substitutes the ``*_test`` shadows.
+"""
+
+import struct
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flax.traverse_util import flatten_dict
+
+from tools.convert_reference_params import (load_mxnet_params, convert,
+                                            strip_prefixes, _MX_MAGIC)
+
+POOLED_HW, POOLED_C = 7, 256
+
+
+# ---------------------------------------------------------------------------
+# mx.nd.save writer (mxnet 1.x ndarray.cc Save format)
+# ---------------------------------------------------------------------------
+
+_NP2MX = {np.dtype(np.float32): 0, np.dtype(np.float64): 1,
+          np.dtype(np.float16): 2, np.dtype(np.uint8): 3,
+          np.dtype(np.int32): 4, np.dtype(np.int8): 5, np.dtype(np.int64): 6}
+
+
+def write_mx_nd_save(path, named_arrays, version="v2"):
+    """Serialize {name: ndarray} the way mx.nd.save does (dense NDArrays)."""
+    buf = bytearray()
+    buf += struct.pack("<Q", _MX_MAGIC)          # kMXAPINDArrayListMagic
+    buf += struct.pack("<Q", 0)                  # reserved
+    buf += struct.pack("<Q", len(named_arrays))  # vector<NDArray> length
+    for arr in named_arrays.values():
+        arr = np.ascontiguousarray(arr)
+        if version == "v2":                      # NDArray::Save, mxnet >= 1.0
+            buf += struct.pack("<I", 0xF993FAC9)
+            buf += struct.pack("<I", 1)          # kDefaultStorage
+            buf += struct.pack("<I", arr.ndim)   # TShape::Save
+            buf += struct.pack(f"<{arr.ndim}Q", *arr.shape)
+        elif version == "v1":
+            buf += struct.pack("<I", 0xF993FAC8)
+            buf += struct.pack("<I", arr.ndim)
+            buf += struct.pack(f"<{arr.ndim}Q", *arr.shape)
+        else:                                    # legacy: ndim IS the magic
+            buf += struct.pack("<I", arr.ndim)
+            buf += struct.pack(f"<{arr.ndim}Q", *arr.shape)
+        buf += struct.pack("<II", 1, 0)          # context {cpu, 0}
+        buf += struct.pack("<I", _NP2MX[arr.dtype])
+        buf += arr.tobytes()
+    buf += struct.pack("<Q", len(named_arrays))  # vector<string> keys
+    for name in named_arrays:
+        enc = name.encode()
+        buf += struct.pack("<Q", len(enc)) + enc
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+
+# ---------------------------------------------------------------------------
+# inverse layout transforms: template leaf -> reference-named raw array
+# ---------------------------------------------------------------------------
+
+def template_to_mx_raw(flat_template, rng):
+    """Random-filled reference-named dict whose convert() image is known.
+
+    Inverts every transform in tools/convert_reference_params.py::convert so
+    that convert(raw) must reproduce ``want`` exactly.  Leaves whose module
+    names don't exist in reference checkpoints (the tiny backbone) are
+    omitted -> convert must report them missing and keep template init.
+    """
+    raw, want = {}, {}
+    for path, tpl in flat_template.items():
+        mod, leaf = path[-2], path[-1]
+        if mod.startswith("tiny"):
+            continue
+        val = rng.standard_normal(np.shape(tpl)).astype(np.float32)
+        want[path] = val
+        if leaf == "kernel":
+            if val.ndim == 4:                            # HWIO -> OIHW
+                raw[mod + "_weight"] = val.transpose(3, 2, 0, 1)
+            elif mod in ("fc_new_1", "roi_pool_fc1"):    # (h,w,c)-flat -> (c,h,w)-flat
+                o = val.shape[1]
+                raw[mod + "_weight"] = (
+                    val.reshape(POOLED_HW, POOLED_HW, POOLED_C, o)
+                    .transpose(3, 2, 0, 1).reshape(o, -1))
+            else:                                        # [I,O] -> [O,I]
+                raw[mod + "_weight"] = val.T
+        elif leaf in ("bias", "gamma", "beta", "moving_mean", "moving_var"):
+            raw[mod + "_" + leaf if leaf != "bias" else mod + "_bias"] = val
+        elif leaf.endswith("_weight") and "linear_out" in leaf:
+            g, fdim, dg = val.shape                      # [G,F,D/G] -> [D,F,1,1]
+            raw[leaf] = (val.reshape(g, fdim, dg, 1, 1).transpose(0, 2, 1, 3, 4)
+                         .reshape(g * dg, fdim, 1, 1))
+        elif leaf.endswith("_weight"):
+            raw[leaf] = val.transpose(3, 2, 0, 1)
+        elif leaf.endswith("_bias"):
+            raw[leaf] = val
+        else:
+            raise AssertionError(f"unhandled leaf {path}")
+    return raw, want
+
+
+@pytest.fixture(scope="module")
+def tiny_template():
+    from relation_tpu.config.defaults import load_config
+    from relation_tpu.core.trainer import build_model
+    cfg = load_config("experiments/cfgs/"
+                      "resnet_v1_101_coco_trainvalminus_rcnn_end2end_"
+                      "relation_learn_nms_8epoch.yaml")
+    model = build_model(cfg, tiny=True)
+    n0 = max(int(cfg.TEST.FIRST_N) + 1, 8)
+    rois0 = jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (n0, 1))
+    return model.init(jax.random.PRNGKey(0), jnp.zeros((64, 64, 3)), rois0,
+                      jnp.asarray([64.0, 64.0, 1.0]), n0)["params"]
+
+
+def test_mx_nd_save_roundtrip_bitexact(tiny_template, tmp_path, rng):
+    flat = flatten_dict(jax.tree.map(np.asarray, tiny_template))
+    raw, want = template_to_mx_raw(flat, rng)
+    named = {("aux:" if "moving" in k else "arg:") + k: v
+             for k, v in raw.items()}
+    f = str(tmp_path / "rcnn_coco-0008.params")
+    write_mx_nd_save(f, named)
+
+    parsed = load_mxnet_params(f)
+    assert set(parsed) == set(named)
+    for k, v in named.items():
+        np.testing.assert_array_equal(parsed[k], v, err_msg=k)
+
+    params, missing, unused = convert(parsed, tiny_template,
+                                      pooled_hw=POOLED_HW, pooled_c=POOLED_C)
+    got = flatten_dict(jax.tree.map(np.asarray, params))
+    for path, v in want.items():
+        np.testing.assert_array_equal(got[path], v, err_msg="/".join(path))
+    # tiny-backbone leaves: reported missing, left at template init
+    tiny_leaves = {p for p in flat if p[-2].startswith("tiny")}
+    assert {tuple(m.split("/")) for m in missing} >= {
+        p for p in tiny_leaves if p[-1] == "kernel"}
+    for p in tiny_leaves:
+        np.testing.assert_array_equal(got[p], flat[p])
+    assert unused == []
+
+
+@pytest.mark.parametrize("version", ["v1", "legacy"])
+def test_mx_nd_save_older_formats(tmp_path, version, rng):
+    arrs = {"arg:a_weight": rng.standard_normal((2, 3, 1, 1)).astype(np.float32),
+            "aux:b_moving_mean": np.arange(5, dtype=np.float32)}
+    f = str(tmp_path / "old.params")
+    write_mx_nd_save(f, arrs, version=version)
+    parsed = load_mxnet_params(f)
+    for k, v in arrs.items():
+        np.testing.assert_array_equal(parsed[k], v, err_msg=k)
+
+
+def test_bad_magic_rejected(tmp_path):
+    f = str(tmp_path / "bogus.params")
+    with open(f, "wb") as fh:
+        fh.write(struct.pack("<QQQ", 0xDEAD, 0, 0))
+    with pytest.raises(ValueError, match="magic"):
+        load_mxnet_params(f)
+
+
+def test_use_test_weights_swaps_shadows(tiny_template, rng):
+    """process=True semantics: '*_test' shadows replace bbox_pred
+    (lib/utils/load_model.py:46-67; shadows written by callback.py:54-61)."""
+    flat = flatten_dict(jax.tree.map(np.asarray, tiny_template))
+    raw, _ = template_to_mx_raw(flat, rng)
+    shadow_w = rng.standard_normal(raw["bbox_pred_weight"].shape).astype(np.float32)
+    shadow_b = rng.standard_normal(raw["bbox_pred_bias"].shape).astype(np.float32)
+    raw["bbox_pred_weight_test"] = shadow_w
+    raw["bbox_pred_bias_test"] = shadow_b
+
+    params, _, _ = convert(dict(raw), tiny_template, use_test_weights=True,
+                           pooled_hw=POOLED_HW, pooled_c=POOLED_C)
+    got = flatten_dict(jax.tree.map(np.asarray, params))
+    np.testing.assert_array_equal(got[("bbox_pred", "kernel")], shadow_w.T)
+    np.testing.assert_array_equal(got[("bbox_pred", "bias")], shadow_b)
+
+    params, _, _ = convert(dict(raw), tiny_template, use_test_weights=False,
+                           pooled_hw=POOLED_HW, pooled_c=POOLED_C)
+    got = flatten_dict(jax.tree.map(np.asarray, params))
+    np.testing.assert_array_equal(got[("bbox_pred", "kernel")],
+                                  raw["bbox_pred_weight"].T)
+
+
+# ---------------------------------------------------------------------------
+# MXNet-semantics oracles for the nontrivial layout transforms
+# ---------------------------------------------------------------------------
+
+def test_fc_after_pool_flatten_oracle(rng):
+    """MXNet Flatten on pooled NCHW == our NHWC flatten with converted kernel
+    (resnet_v1_101_rcnn_base.py:792-793: Flatten(roi_pool) -> fc_new_1)."""
+    o = 24
+    w_mx = rng.standard_normal((o, POOLED_C * POOLED_HW * POOLED_HW)) \
+              .astype(np.float32)
+    pooled_nchw = rng.standard_normal((POOLED_C, POOLED_HW, POOLED_HW)) \
+                     .astype(np.float32)
+    ref_out = w_mx @ pooled_nchw.reshape(-1)              # MXNet FC semantics
+
+    kernel = (w_mx.reshape(o, POOLED_C, POOLED_HW, POOLED_HW)
+              .transpose(2, 3, 1, 0).reshape(-1, o))      # converter transform
+    ours = pooled_nchw.transpose(1, 2, 0).reshape(-1) @ kernel
+    # identical math, different 12544-term summation order -> f32 noise
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-3)
+
+
+def test_grouped_linear_out_oracle(rng):
+    """MXNet grouped 1x1 conv (num_group=G over a [1, G*F, R, 1] input,
+    resnet_v1_101_rcnn_base.py:130-135 linear_out_) == our per-group einsum
+    with the converted [G, F, D/G] weight."""
+    G, F, D, R = 4, 6, 8, 5                               # D out channels total
+    w_mx = rng.standard_normal((D, F, 1, 1)).astype(np.float32)
+    x = rng.standard_normal((G, R, F)).astype(np.float32)  # per-group features
+
+    # oracle: grouped conv splits output channels into G groups of D/G, group g
+    # convolving input channels [g*F, (g+1)*F)
+    dg = D // G
+    ref = np.zeros((R, D), np.float32)
+    for g in range(G):
+        wg = w_mx[g * dg:(g + 1) * dg, :, 0, 0]           # [D/G, F]
+        ref[:, g * dg:(g + 1) * dg] = x[g] @ wg.T
+
+    conv = (w_mx.reshape(G, dg, F, 1, 1).transpose(0, 2, 1, 3, 4)
+            .reshape(G, F, dg))                           # converter transform
+    ours = np.einsum("grf,gfd->rgd", x, conv).reshape(R, D)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)

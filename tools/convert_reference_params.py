@@ -132,11 +132,11 @@ def convert(raw: dict[str, np.ndarray], params_template,
 
     raw = strip_prefixes(raw)
     if use_test_weights:
+        # swap the std-folded *_test shadows in, exactly load_param(process=True)
+        # (reference lib/utils/load_model.py:46-67 renames '*_test' -> base name)
         for base in ("bbox_pred_weight", "bbox_pred_bias"):
-            t = base.replace("bbox_pred_", "bbox_pred_") + "_test"
-            t = base + "_test" if base + "_test" in raw else None
-            if t:
-                raw[base] = raw[t]
+            if base + "_test" in raw:
+                raw[base] = raw[base + "_test"]
 
     flat = flatten_dict(params_template)
     out = {}
