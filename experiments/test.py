@@ -39,6 +39,11 @@ def parse_args():
                    help="override cfg.dataset.dataset_path")
     p.add_argument("--tiny", action="store_true",
                    help="tiny backbone (must match how the ckpt was trained)")
+    p.add_argument("--roi-method", default="auto",
+                   choices=("auto", "align", "pool"),
+                   help="ROI feature extraction; auto = exact ROIPooling for "
+                        "converted reference checkpoints (their head was "
+                        "trained against MXNet ROIPooling), else cfg default")
     # tolerate ONLY the sibling driver's flags: rcnn_end2end_train_test.py
     # forwards one argv to both train and test (reference surface has no args).
     # Anything else (e.g. a typoed --thres) is a hard error.
@@ -74,6 +79,18 @@ def main():
         cfg.TEST.NMS = args.nms
     if args.merge != -10:
         cfg.TEST.MERGE_METHOD = args.merge
+    if args.roi_method != "auto":
+        cfg.TPU.ROI_METHOD = args.roi_method
+    elif args.ckpt:
+        # converted reference weights carry a __meta__ tag: evaluate them with
+        # exact MXNet ROIPooling semantics (ops/roi_pool.py::roi_pool) — the
+        # reference head is rounding max-pool (resnet_v1_101_rcnn_base.py:790)
+        from relation_tpu.core.checkpoint import read_checkpoint_meta
+        meta = read_checkpoint_meta(args.ckpt)
+        if meta.get("roi_method"):
+            cfg.TPU.ROI_METHOD = meta["roi_method"]
+            print(f"checkpoint meta: roi_method={meta['roi_method']} "
+                  f"(source={meta.get('source', '?')})")
 
     cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
     logger, out_path = create_logger(cfg.output_path or "output", cfg_name,

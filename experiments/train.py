@@ -138,8 +138,7 @@ def main():
             fh = ih // int(cfg.network.RPN_FEAT_STRIDE)
             fw = iw // int(cfg.network.RPN_FEAT_STRIDE)
             if (fh, fw) not in step_fns:
-                step_fns[(fh, fw)] = jax.jit(make_train_step(
-                    model, cfg, feat_hw=(fh, fw), max_gt=int(cfg.TPU.MAX_GT)))
+                step_fns[(fh, fw)] = jax.jit(make_train_step(model, cfg))
             sb = shard_batch(mesh, batch)
             with mesh:
                 state, metrics = step_fns[(fh, fw)](state, sb)

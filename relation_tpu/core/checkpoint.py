@@ -57,12 +57,26 @@ def restore_checkpoint(path: str, state):
     )
 
 
-def save_params(path: str, params) -> str:
+def save_params(path: str, params, meta: dict | None = None) -> str:
+    """Write a params-only msgpack; ``meta`` (plain strings) rides along under
+    a reserved ``__meta__`` key that loaders strip (e.g. the reference-weight
+    converter tags its output so eval can default to exact ROIPooling)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    blob = serialization.msgpack_serialize(jax.tree.map(np.asarray, params))
+    payload = dict(jax.tree.map(np.asarray, params))
+    if meta:
+        payload["__meta__"] = {str(k): str(v) for k, v in meta.items()}
+    blob = serialization.msgpack_serialize(payload)
     with open(path, "wb") as f:
         f.write(blob)
     return path
+
+
+def read_checkpoint_meta(path: str) -> dict:
+    """Return the ``__meta__`` dict of a params msgpack ({} if absent)."""
+    with open(path, "rb") as f:
+        restored = serialization.msgpack_restore(f.read())
+    meta = restored.get("__meta__") if isinstance(restored, dict) else None
+    return dict(meta) if meta else {}
 
 
 def load_params(path: str, template):
@@ -78,9 +92,10 @@ def load_params(path: str, template):
     """
     with open(path, "rb") as f:
         restored = serialization.msgpack_restore(f.read())
-    if (isinstance(restored, dict)
-            and {"step", "params", "opt_state", "rng"} <= set(restored)):
-        restored = restored["params"]
+    if isinstance(restored, dict):
+        restored.pop("__meta__", None)
+        if {"step", "params", "opt_state", "rng"} <= set(restored):
+            restored = restored["params"]
     return serialization.from_state_dict(template, restored)
 
 

@@ -20,10 +20,13 @@ from relation_tpu.data.eval import CocoEvaluator, format_coco_summary
 
 def pred_eval(model, params, cfg, dataset, roidb, logger=None,
               cache_path: str | None = None, ignore_cache: bool = False,
-              loader=None):
-    """Returns (results dict, dets_per_image). roidb entries need image/image_id."""
+              loader=None, proposal_file: str | None = None):
+    """Returns (results dict, dets_per_image). roidb entries need image/image_id.
+
+    With ``proposal_file`` the reference's TEST.HAS_RPN=false path runs instead:
+    head-only inference on cached proposals (function/test_rcnn.py:40-74)."""
     import jax.numpy as jnp
-    from relation_tpu.data.loader import TestLoader
+    from relation_tpu.data.loader import TestLoader, ProposalTestLoader
 
     log = logger.info if logger else print
     if cache_path and os.path.exists(cache_path) and not ignore_cache:
@@ -31,7 +34,12 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
             dets_per_image = pickle.load(f)
         log(f"loaded detections cache: {cache_path}")
     else:
-        loader = loader or TestLoader(roidb, cfg)
+        if proposal_file:
+            from relation_tpu.core.predictor import make_predict_fn_rcnn
+            loader = loader or ProposalTestLoader(roidb, cfg, proposal_file)
+            predict_rcnn = make_predict_fn_rcnn(model, cfg)
+        else:
+            loader = loader or TestLoader(roidb, cfg)
         predict_fns = {}
         # once per checkpoint: BN-fold the res4 stacks (None unless
         # cfg.TPU.FUSE_RES4 opts in to the fused-backbone kernel)
@@ -61,20 +69,27 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
             t_post += time.time() - t1
 
         t = time.time()
-        for i, (image_id, img, im_info) in enumerate(loader):
+        for i, item in enumerate(loader):
+            image_id, img, im_info = item[:3]
             t_data += time.time() - t
             t = time.time()
-            feat_hw = (img.shape[0] // int(cfg.network.RCNN_FEAT_STRIDE),
-                       img.shape[1] // int(cfg.network.RCNN_FEAT_STRIDE))
-            if feat_hw not in predict_fns:
-                predict_fns[feat_hw] = make_predict_fn(model, cfg, feat_hw)
-            if bool(cfg.TPU.get("S2D_INPUT", True)):
-                # TPU-first input layout (see models/backbone.py): dense
-                # s2d planar instead of the lane-padded [H, W, 3] image
-                from relation_tpu.data.image import to_s2d_planar
-                img = to_s2d_planar(img)
-            out = predict_fns[feat_hw](params, jnp.asarray(img),
-                                       jnp.asarray(im_info), res4_folded)
+            if proposal_file:
+                _, _, _, rois, rois_valid = item
+                out = predict_rcnn(params, jnp.asarray(img),
+                                   jnp.asarray(im_info), jnp.asarray(rois),
+                                   jnp.asarray(rois_valid))
+            else:
+                # the loader's workers already emit the device layout (s2d
+                # planar when TPU.S2D_INPUT — moved off this consumer thread so
+                # decode threads do the relayout in parallel)
+                from relation_tpu.data.image import image_hw
+                ih, iw = image_hw(img)
+                feat_hw = (ih // int(cfg.network.RCNN_FEAT_STRIDE),
+                           iw // int(cfg.network.RCNN_FEAT_STRIDE))
+                if feat_hw not in predict_fns:
+                    predict_fns[feat_hw] = make_predict_fn(model, cfg, feat_hw)
+                out = predict_fns[feat_hw](params, jnp.asarray(img),
+                                           jnp.asarray(im_info), res4_folded)
             dev_dets = out["dets"]
             # start the D2H transfer NOW: a blocking fetch at drain time costs
             # a full host<->device round trip (~25 ms through this
@@ -123,3 +138,12 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
             results, getattr(dataset, "class_names", None)).splitlines():
         log(line)
     return results, dets_per_image
+
+
+def pred_eval_rcnn(model, params, cfg, dataset, roidb, proposal_file: str,
+                   logger=None, cache_path: str | None = None,
+                   ignore_cache: bool = False):
+    """Cached-proposal evaluation (reference function/test_rcnn.py driver)."""
+    return pred_eval(model, params, cfg, dataset, roidb, logger,
+                     cache_path=cache_path, ignore_cache=ignore_cache,
+                     proposal_file=proposal_file)

@@ -84,27 +84,157 @@ def generate_rpn_proposals(model, params, cfg, roidb, out_path: str,
     return out_path
 
 
+# proposal-recall area breakdown (reference imdb.py:287-289)
+RECALL_AREA_RANGES = {
+    "all": (0.0, 1e5 ** 2), "0-25": (0.0, 25.0 ** 2),
+    "25-50": (25.0 ** 2, 50.0 ** 2), "50-100": (50.0 ** 2, 100.0 ** 2),
+    "100-200": (100.0 ** 2, 200.0 ** 2), "200-300": (200.0 ** 2, 300.0 ** 2),
+    "300-inf": (300.0 ** 2, 1e5 ** 2),
+}
+
+
+def _greedy_gt_coverage(ov: np.ndarray) -> np.ndarray:
+    """One-to-one greedy proposal<->gt matching (imdb.py:339-357): repeatedly
+    take the best-covered gt, record its IoU, retire both sides. Returns the
+    recorded IoU per matched round, padded with zeros to n_gt."""
+    ov = ov.copy()
+    n_box, n_gt = ov.shape
+    out = np.zeros(n_gt)
+    for j in range(min(n_box, n_gt)):
+        box_per_gt = ov.argmax(axis=0)
+        best_per_gt = ov.max(axis=0)
+        gt_ind = best_per_gt.argmax()
+        out[j] = best_per_gt[gt_ind]
+        ov[box_per_gt[gt_ind], :] = -1
+        ov[:, gt_ind] = -1
+    return out
+
+
 def evaluate_recall(roidb, candidate_boxes, thresholds=None) -> dict:
-    """Proposal recall at IoU thresholds (reference imdb.evaluate_recall,
-    imdb.py:274-379, simplified to the 'all' area range)."""
-    thresholds = thresholds or np.arange(0.5, 1.0, 0.05)
-    gt_overlaps = []
-    for entry, boxes in zip(roidb, candidate_boxes):
-        gt = entry["boxes"]
+    """Proposal recall metrics (reference imdb.evaluate_recall, imdb.py:274-379):
+    per area range, one-to-one greedy matching of proposals to gt, recall at
+    each IoU threshold + average recall; plus the proposal-size histogram.
+
+    Returns {'areas': {name: {recalls, thresholds, ar, num_pos}},
+             'proposal_area_pct': {name: fraction}, 'ar': all-range AR} —
+    'recalls'/'ar' of the 'all' range mirror the reference's headline lines.
+    """
+    thresholds = np.asarray(thresholds if thresholds is not None
+                            else np.arange(0.5, 0.95 + 1e-5, 0.05))
+
+    def areas_of(b):
+        return (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+
+    # proposal size histogram (imdb.py:291-305)
+    area_counts = {}
+    for name, (lo, hi) in RECALL_AREA_RANGES.items():
+        if name == "all":
+            continue
+        c = 0
+        for boxes in candidate_boxes:
+            if len(boxes):
+                a = areas_of(boxes[:, :4])
+                c += int(((a >= lo) & (a < hi)).sum())
+        area_counts[name] = c
+    total = float(max(sum(area_counts.values()), 1))
+
+    out_areas = {}
+    for name, (lo, hi) in RECALL_AREA_RANGES.items():
+        gt_overlaps = []
+        num_pos = 0
+        for entry, boxes in zip(roidb, candidate_boxes):
+            gt = entry["boxes"]
+            # crowd exclusion (imdb.py:317: max_overlaps==1 check)
+            keep = ~entry.get("iscrowd", np.zeros(len(gt), bool))
+            gt = gt[keep & (entry["gt_classes"][:len(keep)] > 0)
+                    if "gt_classes" in entry else keep]
+            if len(gt):
+                ga = areas_of(gt)
+                gt = gt[(ga >= lo) & (ga < hi)]
+            num_pos += len(gt)
+            if len(gt) == 0 or len(boxes) == 0:
+                continue
+            ov = native.bbox_overlaps(boxes[:, :4].astype(np.float32),
+                                      gt.astype(np.float32))
+            gt_overlaps.append(_greedy_gt_coverage(ov))
+        cov = np.concatenate(gt_overlaps) if gt_overlaps else np.zeros(0)
+        recalls = (np.asarray([(cov >= t).sum() / float(num_pos)
+                               for t in thresholds])
+                   if num_pos else np.zeros_like(thresholds))
+        out_areas[name] = {"recalls": recalls, "thresholds": thresholds,
+                           "ar": float(recalls.mean()), "num_pos": num_pos}
+
+    allr = out_areas["all"]
+    return {"areas": out_areas, "ar": allr["ar"], "recalls": allr["recalls"],
+            "thresholds": thresholds, "num_gt": allr["num_pos"],
+            "proposal_area_pct": {k: v / total for k, v in area_counts.items()}}
+
+
+def _np_bbox_transform(ex: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """Reference nonlinear_transform (lib/bbox/bbox_transform.py:55-75),
+    +1 width convention."""
+    ew = ex[:, 2] - ex[:, 0] + 1.0
+    eh = ex[:, 3] - ex[:, 1] + 1.0
+    ecx = ex[:, 0] + 0.5 * (ew - 1.0)
+    ecy = ex[:, 1] + 0.5 * (eh - 1.0)
+    gw = gt[:, 2] - gt[:, 0] + 1.0
+    gh = gt[:, 3] - gt[:, 1] + 1.0
+    gcx = gt[:, 0] + 0.5 * (gw - 1.0)
+    gcy = gt[:, 1] + 0.5 * (gh - 1.0)
+    return np.stack([(gcx - ecx) / (ew + 1e-14), (gcy - ecy) / (eh + 1e-14),
+                     np.log(gw / ew), np.log(gh / eh)], axis=1)
+
+
+def add_bbox_regression_stats(roidb, num_classes: int, class_agnostic: bool,
+                              regression_thresh: float = 0.5):
+    """Dataset-computed bbox-target means/stds (reference
+    lib/bbox/bbox_regression.py:24-117 add_bbox_regression_targets when
+    BBOX_NORMALIZATION_PRECOMPUTED is false).
+
+    Per image the candidate set is gt boxes + cached proposals (the merged
+    rpn_roidb box set, imdb.py:103-188); targets are computed for candidates
+    with max gt overlap >= ``regression_thresh`` against their argmax gt, and
+    per-class mean/std accumulated (class 1 collects everything when
+    class-agnostic, bbox_regression.py:91).
+
+    Returns (means [K, 4], stds [K, 4]) with K = 2 if class_agnostic else
+    num_classes; row 0 (background) stays zero-mean/unit-free like the
+    reference. The training path consumes row 1..: for the agnostic configs
+    feed ``means[1], stds[1]`` to sample_rois.
+    """
+    K = 2 if class_agnostic else num_classes
+    counts = np.zeros((K, 1)) + 1e-14
+    sums = np.zeros((K, 4))
+    sq = np.zeros((K, 4))
+    for entry in roidb:
+        gt = np.asarray(entry["boxes"], np.float32)
         keep = ~entry.get("iscrowd", np.zeros(len(gt), bool))
         gt = gt[keep]
-        if len(gt) == 0 or len(boxes) == 0:
+        classes = np.asarray(entry["gt_classes"])[keep] \
+            if "gt_classes" in entry else np.ones(len(gt), np.int64)
+        if len(gt) == 0:
             continue
-        ov = native.bbox_overlaps(boxes[:, :4].astype(np.float32),
-                                  gt.astype(np.float32))
-        gt_overlaps.append(ov.max(axis=0))
-    if not gt_overlaps:
-        return {"recalls": np.zeros(len(thresholds)), "thresholds": thresholds,
-                "ar": 0.0}
-    gt_overlaps = np.concatenate(gt_overlaps)
-    recalls = np.asarray([(gt_overlaps >= t).mean() for t in thresholds])
-    return {"recalls": recalls, "thresholds": np.asarray(thresholds),
-            "ar": float(recalls.mean()), "num_gt": len(gt_overlaps)}
+        props = np.asarray(entry.get("proposals", np.zeros((0, 4))), np.float32)
+        rois = np.concatenate([gt, props], axis=0)
+        ov = native.bbox_overlaps(rois, gt)
+        max_ov = ov.max(axis=1)
+        assign = ov.argmax(axis=1)
+        ex = max_ov >= regression_thresh
+        if not ex.any():
+            continue
+        tgts = _np_bbox_transform(rois[ex], gt[assign[ex]])
+        labels = classes[assign[ex]]
+        for cls in range(1, K):
+            sel = slice(None) if class_agnostic else (labels == cls)
+            t = tgts[sel] if not class_agnostic else tgts
+            if len(t) == 0:
+                continue
+            counts[cls] += len(t)
+            sums[cls] += t.sum(axis=0)
+            sq[cls] += (t ** 2).sum(axis=0)
+    means = sums / counts
+    stds = np.sqrt(np.maximum(sq / counts - means ** 2, 0.0))
+    return means, stds
 
 
 def load_proposal_roidb(roidb, proposal_file: str, top_rois: int = -1) -> list:
@@ -125,27 +255,46 @@ def load_proposal_roidb(roidb, proposal_file: str, top_rois: int = -1) -> list:
     return out
 
 
-def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int):
+def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int,
+                         bbox_means=None, bbox_stds=None):
     """Head-only train step on precomputed proposals (reference
     function/train_rcnn.py:32-183 semantics: sample_rois over cached rois, frozen
-    shared trunk per FIXED_PARAMS_SHARED, no RPN loss).
+    shared trunk per FIXED_PARAMS_SHARED, no RPN loss). When TRAIN.LEARN_NMS the
+    relation/learn-NMS branch trains too (the reference trains its best FPN
+    numbers this way — train_rcnn.py builds the full *_learn_nms symbol).
+
+    ``bbox_means``/``bbox_stds`` override cfg.TRAIN.BBOX_MEANS/STDS — feed
+    roidb-computed stats from :func:`add_bbox_regression_stats` when
+    BBOX_NORMALIZATION_PRECOMPUTED is false (bbox_regression.py:82-100).
 
     Batch schema: image [B,H,W,3], im_info [B,3], rois [B,R,4], rois_valid [B,R],
     gt_boxes [B,G,5], gt_valid [B,G].
     """
     import jax
     import jax.numpy as jnp
-    from relation_tpu.models.targets import sample_rois, ohem_select
-    from relation_tpu.models.losses import rcnn_losses, accuracy_ignore
+    from relation_tpu.models.targets import (sample_rois, ohem_select,
+                                             nms_multi_target)
+    from relation_tpu.models.losses import (rcnn_losses, accuracy_ignore,
+                                            learn_nms_losses, nms_accuracy)
     from relation_tpu.models.fpn import RelationRCNNFPN
 
     is_fpn = isinstance(model, RelationRCNNFPN)
     batch_rois = int(cfg.TRAIN.BATCH_ROIS)
     num_reg = 2 if cfg.CLASS_AGNOSTIC else cfg.dataset.NUM_CLASSES
     ohem = bool(cfg.TRAIN.ENABLE_OHEM)
+    learn_nms = bool(cfg.TRAIN.LEARN_NMS)
+    if learn_nms and batch_rois >= 0:
+        raise ValueError("LEARN_NMS requires take-all ROI mode (BATCH_ROIS=-1), "
+                         "as in the reference configs")
+    threshes = tuple(np.fromstring(cfg.network.NMS_TARGET_THRESH, dtype=float,
+                                   sep=","))
     bbox_norm = float(cfg.TRAIN.BATCH_ROIS_OHEM if ohem
                       else (300 if batch_rois < 0 else batch_rois))
     nongt_dim = min(int(cfg.TRAIN.RPN_POST_NMS_TOP_N), max_rois)
+    bbox_means = tuple(bbox_means if bbox_means is not None
+                       else cfg.TRAIN.BBOX_MEANS)
+    bbox_stds = tuple(bbox_stds if bbox_stds is not None
+                      else cfg.TRAIN.BBOX_STDS)
 
     def per_image(params, image, im_info, rois, rois_valid, gt_boxes, gt_valid,
                   rng):
@@ -162,11 +311,11 @@ def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int):
             fg_thresh=float(cfg.TRAIN.FG_THRESH),
             bg_thresh_hi=float(cfg.TRAIN.BG_THRESH_HI),
             bg_thresh_lo=float(cfg.TRAIN.BG_THRESH_LO),
-            bbox_normalize=bool(cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED),
-            bbox_means=tuple(cfg.TRAIN.BBOX_MEANS),
-            bbox_stds=tuple(cfg.TRAIN.BBOX_STDS),
+            bbox_normalize=True,
+            bbox_means=bbox_means,
+            bbox_stds=bbox_stds,
             bbox_weights=tuple(np.asarray(cfg.TRAIN.BBOX_WEIGHTS).tolist()))
-        cls_score, bbox_pred, _ = model.apply(
+        cls_score, bbox_pred, fc2 = model.apply(
             {"params": params}, feat, tgt["rois"], nongt_dim,
             method=type(model).head)
         label, weight = tgt["label"], tgt["bbox_weight"]
@@ -177,9 +326,30 @@ def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int):
         cls_loss, bbox_loss = rcnn_losses(cls_score, bbox_pred, label,
                                           tgt["bbox_target"], weight, bbox_norm)
         total = cls_loss + bbox_loss
-        return total, {"rcnn_cls_loss": cls_loss, "rcnn_bbox_loss": bbox_loss,
-                       "rcnn_acc": accuracy_ignore(cls_score, label),
-                       "total_loss": total}
+        metrics = {"rcnn_cls_loss": cls_loss, "rcnn_bbox_loss": bbox_loss,
+                   "rcnn_acc": accuracy_ignore(cls_score, label)}
+
+        if learn_nms:
+            # same branch as the e2e step (core/trainer.py) — the reference's
+            # train_rcnn graph ends in nms_multi_target + the rank losses
+            # (resnet_v1_101_fpn_rcnn_learn_nms_*.py get_symbol tail)
+            ln = model.apply(
+                {"params": params}, cls_score[:nongt_dim], bbox_pred[:nongt_dim],
+                tgt["rois"][:nongt_dim], fc2[:nongt_dim], im_info,
+                method=type(model).learn_nms)
+            nt = nms_multi_target(ln["sorted_bbox"], gt_boxes, gt_valid,
+                                  jax.lax.stop_gradient(ln["sorted_score"]),
+                                  threshes)
+            nms_total, pos_l, neg_l = learn_nms_losses(
+                ln["nms_multi_score"], nt, float(cfg.TRAIN.nms_loss_scale),
+                float(cfg.TRAIN.nms_pos_scale))
+            acc_pos, acc_neg = nms_accuracy(ln["nms_multi_score"], nt)
+            total = total + nms_total
+            metrics.update({"nms_pos_loss": pos_l, "nms_neg_loss": neg_l,
+                            "nms_acc_pos": acc_pos, "nms_acc_neg": acc_neg})
+
+        metrics["total_loss"] = total
+        return total, metrics
 
     def train_step(state, batch):
         step_rng = jax.random.fold_in(state.rng, state.step)

@@ -131,13 +131,13 @@ def make_optimizer(cfg, epoch_size: int, mask) -> optax.GradientTransformation:
     return tx
 
 
-def make_train_step(model: RelationRCNN, cfg, feat_hw: tuple[int, int],
-                    max_gt: int) -> Callable:
-    """Build the per-batch train step for one image bucket (static feature H, W)."""
+def make_train_step(model: RelationRCNN, cfg) -> Callable:
+    """Build the per-batch train step; feature-grid shapes are static per
+    compilation from the traced batch (one compiled program per image bucket,
+    the MutableModule-rebinding analogue — see experiments/train.py)."""
     stride = int(cfg.network.RPN_FEAT_STRIDE)
     base_anchors = generate_anchors(stride, tuple(cfg.network.ANCHOR_RATIOS),
                                     tuple(cfg.network.ANCHOR_SCALES))
-    fh, fw = feat_hw
     nongt_dim = int(cfg.TRAIN.RPN_POST_NMS_TOP_N)
     batch_rois = int(cfg.TRAIN.BATCH_ROIS)
     num_reg = 2 if cfg.CLASS_AGNOSTIC else cfg.dataset.NUM_CLASSES

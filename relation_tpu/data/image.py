@@ -121,6 +121,19 @@ def batch_image_hw(batch_image) -> tuple[int, int]:
     [B, H, W, 3]. The train driver derives the RPN feature grid from this —
     reading shape[1]/shape[2] directly silently yields a 0-height grid for
     planar batches."""
-    if batch_image.ndim == 4 and batch_image.shape[1] == 12:
+    if (batch_image.ndim == 4 and batch_image.shape[1] == 12
+            and batch_image.shape[-1] != 3):
+        # trailing-dim check disambiguates an NHWC batch that happens to have
+        # H == 12 (planar W/2 == 3 would mean a 6-px-wide image — impossible
+        # for any bucket)
         return batch_image.shape[2] * 2, batch_image.shape[3] * 2
     return batch_image.shape[1], batch_image.shape[2]
+
+
+def image_hw(image) -> tuple[int, int]:
+    """Original (H, W) of ONE image in either layout: s2d planar
+    [12, H/2, W/2] or HWC [H, W, 3] (single-image analogue of
+    :func:`batch_image_hw`; the evaluator keys compiled programs on this)."""
+    if image.ndim == 3 and image.shape[0] == 12 and image.shape[-1] != 3:
+        return image.shape[1] * 2, image.shape[2] * 2
+    return image.shape[0], image.shape[1]

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -117,11 +119,14 @@ class TrainLoader:
         stop = object()
 
         def worker():
+            # exceptions travel to the consumer — a dead prefetch thread must
+            # not silently truncate the epoch
             try:
                 for b in batches:
                     q.put(self._make_batch(b))
-            finally:
                 q.put(stop)
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -129,21 +134,31 @@ class TrainLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 
 class TestLoader:
     """Yields (image_id, image, im_info) one image at a time (TEST.BATCH_IMAGES=1,
-    reference core/loader.py:25-167)."""
+    reference core/loader.py:25-167).
+
+    Decode/resize/mean-sub (and the s2d planar relayout when enabled) run in an
+    ``num_workers``-thread pool with a bounded in-order in-flight window — the
+    equivalent of PrefetchingIterV2's 4 worker threads
+    (lib/utils/PrefetchingIter.py:19-150). PIL decode + numpy resize release
+    the GIL, so workers overlap; a single decode thread (~10-20 ms/image)
+    cannot keep up with the ~250 img/s device throughput."""
 
     __test__ = False          # not a pytest class
 
-    def __init__(self, roidb, cfg, num_prefetch: int = 2,
+    def __init__(self, roidb, cfg, num_prefetch: int = 8, num_workers: int = 4,
                  image_loader=load_image_bgr):
         self.roidb = list(roidb)
         self.cfg = cfg
         self.buckets = [tuple(b) for b in cfg.TPU.IMAGE_BUCKETS]
-        self.num_prefetch = num_prefetch
+        self.num_prefetch = max(num_prefetch, num_workers)
+        self.num_workers = num_workers
         self.image_loader = image_loader
 
     def __len__(self):
@@ -154,26 +169,67 @@ class TestLoader:
         target, max_size = self.cfg.SCALES[0]
         img, im_info, _ = prepare_image(im, target, max_size,
                                         self.cfg.network.PIXEL_MEANS, self.buckets)
+        if bool(self.cfg.TPU.get("S2D_INPUT", True)):
+            # host-side planar relayout inside the worker (device-side
+            # strided-slice s2d measured 10x worse; see data/image.py)
+            from relation_tpu.data.image import to_s2d_planar
+            img = to_s2d_planar(img)
         return entry.get("image_id", entry["image"]), img, im_info
 
     def __iter__(self):
-        if self.num_prefetch <= 0:
+        if self.num_prefetch <= 0 or self.num_workers <= 0:
             for e in self.roidb:
                 yield self._load_one(e)
             return
-        q: queue.Queue = queue.Queue(maxsize=self.num_prefetch)
-        stop = object()
-
-        def worker():
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            inflight: deque = deque()
+            it = iter(self.roidb)
             try:
-                for e in self.roidb:
-                    q.put(self._load_one(e))
+                while True:
+                    while len(inflight) < self.num_prefetch:
+                        e = next(it, None)
+                        if e is None:
+                            break
+                        inflight.append(pool.submit(self._load_one, e))
+                    if not inflight:
+                        break
+                    yield inflight.popleft().result()   # re-raises worker errors
             finally:
-                q.put(stop)
+                for f in inflight:
+                    f.cancel()
 
-        threading.Thread(target=worker, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+
+class ProposalTestLoader(TestLoader):
+    """TestLoader + cached proposals (the reference's has_rpn=False TestLoader,
+    core/loader.py:25-167 with proposal roidb from function/test_rcnn.py:40-51).
+
+    Yields (image_id, image, im_info, rois [R, 4] scaled-image coords,
+    rois_valid [R]) with R static (TEST.TOP_ROIS cap, score order preserved —
+    generate_rpn_proposals writes score-descending boxes).
+    """
+
+    def __init__(self, roidb, cfg, proposal_file: str, **kw):
+        super().__init__(roidb, cfg, **kw)
+        import pickle
+        with open(proposal_file, "rb") as f:
+            props = pickle.load(f)
+        assert len(props) == len(self.roidb), \
+            f"{len(props)} proposal sets != {len(self.roidb)} images"
+        top = int(cfg.TEST.get("TOP_ROIS", -1))
+        if top > 0:
+            props = [p[:top] for p in props]
+        self.proposals = props
+        self.max_rois = max(max((len(p) for p in props), default=1), 8)
+        self._prop_by_idx = {id(e): p for e, p in zip(self.roidb, props)}
+
+    def _load_one(self, entry):
+        image_id, img, im_info = super()._load_one(entry)
+        p = self._prop_by_idx[id(entry)]
+        R = self.max_rois
+        rois = np.zeros((R, 4), np.float32)
+        valid = np.zeros((R,), bool)
+        n = min(len(p), R)
+        if n:
+            rois[:n] = p[:n, :4] * float(im_info[2])   # original -> scaled coords
+            valid[:n] = True
+        return image_id, img, im_info, rois, valid

@@ -28,7 +28,7 @@ from relation_tpu.models.rpn import RPNHead
 from relation_tpu.models.relation import RelationModule
 from relation_tpu.models.learn_nms import LearnNMSHead
 from relation_tpu.ops.anchors import generate_anchors, shift_anchors
-from relation_tpu.ops.boxes import bbox_pred, clip_boxes, filter_boxes_mask
+from relation_tpu.ops.boxes import bbox_pred, clip_boxes
 from relation_tpu.ops.embeddings import extract_position_matrix_t
 from relation_tpu.ops.nms import nms_topk_presorted
 from relation_tpu.ops.roi_pool import roi_align_mxu, roi_pool

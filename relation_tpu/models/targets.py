@@ -125,13 +125,22 @@ def sample_rois(rois: jnp.ndarray, roi_valid: jnp.ndarray, gt_boxes: jnp.ndarray
                 fg_thresh: float = 0.5, bg_thresh_hi: float = 0.5,
                 bg_thresh_lo: float = 0.0, bbox_normalize: bool = False,
                 bbox_means=(0., 0., 0., 0.), bbox_stds=(0.1, 0.1, 0.2, 0.2),
-                bbox_weights=(1.0, 1.0, 1.0, 1.0)):
+                bbox_weights=(1.0, 1.0, 1.0, 1.0), pad_mode: str = "repeat"):
     """proposal_target: append gt rois, FG/BG-sample (or take all), emit targets.
 
     rois: [R, 4] proposals (padding allowed, flagged by roi_valid); gt padded [G, 5].
     Take-all mode (batch_rois < 0, reference proposal_target.py:50-61 /
     core/rcnn.py sample_rois_v2) keeps everything: output size R + G.
     Sampled mode outputs exactly batch_rois rows.
+
+    ``pad_mode`` governs how the fixed minibatch is filled when fg+bg fall
+    short (reference core/rcnn.py:369-373: ``npr.choice(range(len(rois)),
+    gap, replace=False)`` — a fresh draw over ALL rois, so already-selected
+    rois can repeat, each labeled by its own overlap with the
+    ``overlap < BG_THRESH_HI -> background`` rule of rcnn.py:380-382):
+      'repeat'   faithful gap sampling over the full roi set (default)
+      'distinct' only-unselected pad pool (strictly more distinct rois per
+                 minibatch; kept for experimentation)
 
     Returns dict(rois [S,4], label [S] (-1 ignore), bbox_target [S, 4*Krc],
                  bbox_weight [S, 4*Krc]) with S = R+G or batch_rois.
@@ -156,24 +165,37 @@ def sample_rois(rois: jnp.ndarray, roi_valid: jnp.ndarray, gt_boxes: jnp.ndarray
         sel_rois, sel_label = all_rois, label
         sel_assignment, sel_fg = gt_assignment, fg
     else:
-        k_fg, k_bg, k_pad = jax.random.split(rng, 3)
+        k_fg, k_bg, k_pad, k_gap = jax.random.split(rng, 4)
         fg_cap = int(round(fg_fraction * batch_rois))
         fg_rank = _rank_among(fg, jax.random.uniform(k_fg, (R + G,)))
         fg_sel = fg & (fg_rank < fg_cap)
         n_fg = jnp.sum(fg_sel.astype(jnp.int32))
         bg_rank = _rank_among(bg, jax.random.uniform(k_bg, (R + G,)))
         bg_sel = bg & (bg_rank < batch_rois - n_fg)
-        # ordering key: selected fg(0) < selected bg(1) < pad pool(2); random within
+        n_keep = n_fg + jnp.sum(bg_sel.astype(jnp.int32))
+        # ordering key: selected fg(0) < selected bg(1) < rest(2); random within
         key = jnp.where(fg_sel, 0, jnp.where(bg_sel, 1, 2)).astype(jnp.float32)
         key = key + jax.random.uniform(k_pad, (R + G,)) * 0.5
         key = jnp.where(all_valid, key, 1e6)      # padded rows last
-        order = jnp.argsort(key)[:batch_rois]
+        sel_order = jnp.argsort(key)
+        if pad_mode == "repeat":
+            # gap rows: an independent uniform draw over ALL valid rois
+            # (rcnn.py:371 npr.choice over range(len(rois)) — selected rois may
+            # repeat in the minibatch)
+            gap_key = jnp.where(all_valid,
+                                jax.random.uniform(k_gap, (R + G,)), 1e6)
+            gap_perm = jnp.argsort(gap_key)
+            p = jnp.arange(batch_rois)
+            order = jnp.where(p < n_keep, sel_order[p],
+                              gap_perm[jnp.clip(p - n_keep, 0, R + G - 1)])
+        else:
+            order = sel_order[:batch_rois]
         sel_rois = all_rois[order]
         raw = label[order]
-        # pad-pool rows behave like the reference's random re-draw: they keep their
-        # fg/bg label semantics (fg label if >= fg_thresh else background)
+        # gap rows are labeled by their own overlap: class iff
+        # overlap >= BG_THRESH_HI, else background (rcnn.py:380-382)
         sel_label = jnp.where(raw == -1,
-                              jnp.where(max_overlaps[order] >= fg_thresh,
+                              jnp.where(max_overlaps[order] >= bg_thresh_hi,
                                         raw_label[order], 0), raw)
         sel_label = jnp.where(all_valid[order], sel_label, -1)
         sel_assignment = gt_assignment[order]

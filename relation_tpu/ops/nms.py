@@ -82,10 +82,13 @@ def greedy_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thresh,
     proposal top-N and max_per_image, use only those). This skips the low-score
     tail blocks entirely: the sweep over score-sorted blocks terminates early.
 
-    (A single-instance Pallas kernel was measured at 114 us vs 98 us for this
-    while_loop formulation at the 6144-box proposal shape — the XLA form stays.
-    The *batched* Pallas kernel wins for classwise_nms below, where vmapping
-    this while_loop runs every class to the slowest class's iteration count.)
+    (Production C4 proposal NMS now uses the presorted single-launch Pallas
+    sweep — nms_topk_presorted, 147 us vs 437 us on real RPN outputs. This
+    while_loop form remains the exact-oracle / CPU path and the FPN proposal
+    path, where a Pallas consumer would break XLA's space-to-batch conv
+    rewrites upstream — see CLAUDE.md "poison scope". The *batched* Pallas
+    kernel wins for classwise_nms below, where vmapping this while_loop runs
+    every class to the slowest class's iteration count.)
     """
     n = boxes.shape[0]
     if valid is None:

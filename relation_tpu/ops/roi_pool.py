@@ -10,9 +10,10 @@ shape anywhere (padded ROI sets ride through, garbage rows are masked downstream
   is the TPU-native default: regular access pattern, differentiable, and empirically
   at-or-above ROIPooling accuracy.
 - ``roi_pool``: exact MXNet ROIPooling semantics (round coords, floor/ceil bin edges,
-  max over cells) for numerical parity with converted reference weights. Implemented
-  with a bounded per-bin window; cost grows with ``max_bin`` so prefer roi_align in
-  production.
+  max over cells) for numerical parity with converted reference weights — the parity
+  path for eval of converted checkpoints (experiments/test.py --roi-method auto).
+  Implemented as a 2D sparse-table range-max (4 gathered points per bin) with
+  bit-faithful f32 bin arithmetic (see _f32_div_int).
 """
 
 from __future__ import annotations
@@ -148,9 +149,50 @@ def roi_align_mxu(feat: jnp.ndarray, rois: jnp.ndarray, spatial_scale: float,
     return out.astype(feat.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("pooled_size", "max_bin"))
+def _levels_for(dim: int, pooled: int) -> int:
+    """Sparse-table levels needed for per-bin windows on an in-map ROI.
+
+    A bin spans ceil(bin_size)+1 cells at most, bin_size <= (dim + 2)/P for
+    ROIs inside the image (the pipeline guarantees clipped proposals); two
+    overlapping 2^k blocks with k = floor(log2(n)) cover any n <= 2^(L)."""
+    import math
+    n_max = math.ceil((dim + 2) / pooled) + 1
+    return max(1, math.floor(math.log2(n_max)) + 1)
+
+
+def _f32_div_int(n: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Correctly-rounded (round-to-nearest-even) float32 of integer n / d.
+
+    n: int32 array of positive values <= 2**13; d: small static positive int.
+    Computes the f32 mantissa by scaled integer division so the result cannot
+    be perturbed by XLA's divide -> multiply-by-reciprocal rewrite.
+    """
+    # e = floor(log2(n/d)): the unique e with d*2^e <= n < d*2^(e+1);
+    # n >= 1, d <= 128 keeps e >= -7 so the mantissa shift stays < 31 bits
+    e = jnp.full(n.shape, -7, jnp.int32)
+    for ee in range(-7, 15):
+        if ee >= 0:
+            ge = n >= (d << ee)
+        else:
+            ge = (n << (-ee)) >= d
+        e = jnp.where(ge, ee, e)
+    # scaled numerator lands in [d*2^23, d*2^24): 24-bit quotient mantissa
+    num = jnp.left_shift(n, 23 - e)
+    q = num // d
+    r = num - q * d
+    # round half to even
+    up = (2 * r > d) | ((2 * r == d) & (q % 2 == 1))
+    m = q + up.astype(jnp.int32)
+    # exact 2^(e-23): exp2() is an approximation on XLA:CPU, so assemble the
+    # float from its exponent bits instead
+    pow2 = jax.lax.bitcast_convert_type(
+        jnp.left_shift(e - 23 + 127, 23), jnp.float32)
+    return m.astype(jnp.float32) * pow2
+
+
+@functools.partial(jax.jit, static_argnames=("pooled_size",))
 def roi_pool(feat: jnp.ndarray, rois: jnp.ndarray, spatial_scale: float,
-             pooled_size: int = 7, max_bin: int = 12) -> jnp.ndarray:
+             pooled_size: int = 7) -> jnp.ndarray:
     """Exact MXNet/Caffe ROIPooling (max pool with rounded coords).
 
     Semantics of mxnet v1.1.0 ROIPooling (used at reference
@@ -159,49 +201,92 @@ def roi_pool(feat: jnp.ndarray, rois: jnp.ndarray, spatial_scale: float,
       bin edges: floor(p * size/P) .. ceil((p+1) * size/P), clipped to the map;
       empty bins yield 0.
 
-    ``max_bin`` bounds the per-bin window (cells per bin <= ceil(feat_dim/P)+1);
-    with a 64x64 stride-16 map and P=7, 11 suffices — 12 leaves margin.
+    TPU formulation: a 2D sparse table (range-max query). Build
+    T[ky, kx, y, x, c] = max(feat[y:y+2^ky, x:x+2^kx, c]) by log-shifted
+    elementwise maxes (pure VPU work, ~Ly*Lx copies of the map), then every
+    bin's max is the max of FOUR gathered entries — replacing the naive
+    max_bin^2 (=144) gather rounds with one fused 4-point gather. Exact for
+    ROIs lying inside the feature map (guaranteed by the proposal pipeline's
+    clipping, reference bbox_transform.py clip_boxes); wildly out-of-range
+    ROIs fall back to covering the clipped window's two end blocks.
+
     feat: [H, W, C]; rois: [R, 4] -> [R, P, P, C].
     """
     H, W, C = feat.shape
     P = pooled_size
     R = rois.shape[0]
+    neg = jnp.finfo(feat.dtype).min
 
-    start_w = jnp.round(rois[:, 0] * spatial_scale)
-    start_h = jnp.round(rois[:, 1] * spatial_scale)
-    end_w = jnp.round(rois[:, 2] * spatial_scale)
-    end_h = jnp.round(rois[:, 3] * spatial_scale)
+    def c_round(v):
+        # C round(): half away from zero (mxnet CUDA kernel), NOT banker's
+        return jnp.floor(v + jnp.copysign(0.5, v))
+
+    start_w = c_round(rois[:, 0] * spatial_scale)
+    start_h = c_round(rois[:, 1] * spatial_scale)
+    end_w = c_round(rois[:, 2] * spatial_scale)
+    end_h = c_round(rois[:, 3] * spatial_scale)
     roi_h = jnp.maximum(end_h - start_h + 1.0, 1.0)            # [R]
     roi_w = jnp.maximum(end_w - start_w + 1.0, 1.0)
-    bin_h = roi_h / P
-    bin_w = roi_w / P
+    # fl(roi/P) via integer arithmetic: XLA rewrites x/const into x*(1/const)
+    # (observed on CPU; TPU divides via reciprocal too), which is NOT correctly
+    # rounded — fl(21/7) must be 3.0 exactly, 21*fl(1/7) is 3.0000002 and the
+    # ceil'd bin edges shift. The CUDA reference divides IEEE-exactly, so
+    # emulate round-to-nearest-even f32 division with int32 math.
+    bin_h = _f32_div_int(roi_h.astype(jnp.int32), P)
+    bin_w = _f32_div_int(roi_w.astype(jnp.int32), P)
 
     p = jnp.arange(P, dtype=jnp.float32)
     hstart = jnp.floor(p[None, :] * bin_h[:, None]) + start_h[:, None]   # [R, P]
     hend = jnp.ceil((p[None, :] + 1) * bin_h[:, None]) + start_h[:, None]
     wstart = jnp.floor(p[None, :] * bin_w[:, None]) + start_w[:, None]
     wend = jnp.ceil((p[None, :] + 1) * bin_w[:, None]) + start_w[:, None]
-    hstart = jnp.clip(hstart, 0, H)
-    hend = jnp.clip(hend, 0, H)
-    wstart = jnp.clip(wstart, 0, W)
-    wend = jnp.clip(wend, 0, W)
+    hs = jnp.clip(hstart, 0, H).astype(jnp.int32)
+    he = jnp.clip(hend, 0, H).astype(jnp.int32)
+    ws = jnp.clip(wstart, 0, W).astype(jnp.int32)
+    we = jnp.clip(wend, 0, W).astype(jnp.int32)
 
-    flat = feat.reshape(H * W, C)
-    neg = jnp.finfo(feat.dtype).min
+    Ly = _levels_for(H, P)
+    Lx = _levels_for(W, P)
 
-    out = jnp.full((R, P, P, C), neg, dtype=feat.dtype)
-    for dy in range(max_bin):
-        for dx in range(max_bin):
-            yy = hstart + dy                                    # [R, P]
-            xx = wstart + dx
-            in_h = yy < hend                                    # [R, P]
-            in_w = xx < wend
-            m = (in_h[:, :, None] & in_w[:, None, :])           # [R, P, P]
-            yi = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
-            xi = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
-            idx = yi[:, :, None] * W + xi[:, None, :]           # [R, P, P]
-            vals = flat[idx.reshape(-1)].reshape(R, P, P, C)
-            out = jnp.maximum(out, jnp.where(m[..., None], vals, neg))
+    def shift_max(t, off, axis):
+        # t'[i] = max(t[i], t[i+off]) with -inf tail padding
+        dim = t.shape[axis]
+        tail = jax.lax.slice_in_dim(t, off, dim, axis=axis)
+        pad_shape = list(t.shape)
+        pad_shape[axis] = off
+        return jnp.maximum(t, jnp.concatenate(
+            [tail, jnp.full(pad_shape, neg, t.dtype)], axis=axis))
 
-    empty = (hend <= hstart)[:, :, None] | (wend <= wstart)[:, None, :]
-    return jnp.where(empty[..., None], 0.0, out)
+    # x levels on the map, then y levels on each -> [Ly, Lx, H, W, C]
+    tx = [feat]
+    for k in range(1, Lx):
+        tx.append(shift_max(tx[-1], 1 << (k - 1), axis=1))
+    rows = [jnp.stack(tx)]                                     # [Lx, H, W, C]
+    for k in range(1, Ly):
+        rows.append(shift_max(rows[-1], 1 << (k - 1), axis=1))
+    table = jnp.stack(rows).reshape(Ly * Lx * H * W, C)        # [Ly, Lx, H, W, C]
+
+    def log2_floor(n, levels):
+        # floor(log2(max(n, 1))) clamped to the table, via static thresholds
+        k = jnp.zeros_like(n)
+        for j in range(1, levels):
+            k = k + (n >= (1 << j)).astype(n.dtype)
+        return k
+
+    ky = log2_floor(he - hs, Ly)                               # [R, P]
+    kx = log2_floor(we - ws, Lx)
+    # the two covering block origins per axis (equal when the window is 2^k)
+    ya = jnp.stack([hs, jnp.maximum(he - jnp.left_shift(1, ky), hs)], axis=-1)
+    xa = jnp.stack([ws, jnp.maximum(we - jnp.left_shift(1, kx), ws)], axis=-1)
+
+    # flat indices for the 4 lookup points: [R, P(h), P(w), 2, 2]
+    base = (ky[:, :, None] * Lx + kx[:, None, :])              # [R, P, P]
+    yy = jnp.clip(ya, 0, H - 1)                                # [R, P, 2]
+    xx = jnp.clip(xa, 0, W - 1)
+    idx = ((base[..., None, None] * H + yy[:, :, None, :, None]) * W
+           + xx[:, None, :, None, :])                          # [R, P, P, 2, 2]
+    vals = table[idx.reshape(-1)].reshape(R, P, P, 2, 2, C)
+    out = vals.max(axis=(3, 4))
+
+    empty = (he <= hs)[:, :, None] | (we <= ws)[:, None, :]
+    return jnp.where(empty[..., None], jnp.zeros((), feat.dtype), out)

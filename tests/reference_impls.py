@@ -98,3 +98,39 @@ def np_generate_anchors(base_size=16, ratios=(0.5, 1, 2), scales=(8, 16, 32)):
         out.append(np.stack([x_ctr - 0.5 * (sw - 1), y_ctr - 0.5 * (sh - 1),
                              x_ctr + 0.5 * (sw - 1), y_ctr + 0.5 * (sh - 1)], axis=1))
     return np.concatenate(out, axis=0)
+
+
+def np_roi_pool(feat_hwc, rois, spatial_scale, pooled=7):
+    """MXNet v1.x ROIPooling forward (roi_pooling-inl.h ROIPoolForward):
+    rounded coords, +1 sizes, floor/ceil integer bin edges, max over cells,
+    empty bins -> 0. feat [H, W, C]; rois [R, 4] -> [R, P, P, C].
+
+    Faithful to the CUDA kernel's numerics: Dtype=float32 throughout (the
+    f32 bin_size products shift ceil/floor edges vs exact math) and C
+    ``round`` = half away from zero (not banker's)."""
+    H, W, C = feat_hwc.shape
+    P = pooled
+    f32 = np.float32
+    out = np.zeros((len(rois), P, P, C), feat_hwc.dtype)
+
+    def c_round(v):
+        return int(np.floor(f32(v) + f32(np.copysign(0.5, v))))
+
+    for r, (x1, y1, x2, y2) in enumerate(np.asarray(rois, f32)):
+        sw = c_round(x1 * f32(spatial_scale))
+        sh = c_round(y1 * f32(spatial_scale))
+        ew = c_round(x2 * f32(spatial_scale))
+        eh = c_round(y2 * f32(spatial_scale))
+        rh = max(eh - sh + 1, 1)
+        rw = max(ew - sw + 1, 1)
+        bh, bw = f32(rh) / f32(P), f32(rw) / f32(P)
+        for ph in range(P):
+            for pw in range(P):
+                hs = min(max(int(np.floor(f32(ph) * bh)) + sh, 0), H)
+                he = min(max(int(np.ceil(f32(ph + 1) * bh)) + sh, 0), H)
+                ws = min(max(int(np.floor(f32(pw) * bw)) + sw, 0), W)
+                we = min(max(int(np.ceil(f32(pw + 1) * bw)) + sw, 0), W)
+                if he <= hs or we <= ws:
+                    continue
+                out[r, ph, pw] = feat_hwc[hs:he, ws:we].reshape(-1, C).max(0)
+    return out

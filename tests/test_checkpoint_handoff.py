@@ -28,7 +28,7 @@ def test_train_save_load_eval_cycle(tmp_path, rng):
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                jnp.zeros((64, 64, 3)),
                                jnp.asarray([64.0, 64.0, 1.0]))
-    step = jax.jit(make_train_step(model, cfg, feat_hw=(4, 4), max_gt=4))
+    step = jax.jit(make_train_step(model, cfg))
     batch = jax.tree.map(jnp.asarray, make_batch(rng, B=2))
     state, _ = step(state, batch)
     state, _ = step(state, batch)

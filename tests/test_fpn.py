@@ -60,7 +60,7 @@ def test_fpn_train_and_predict(rng):
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                jnp.zeros((64, 64, 3)),
                                jnp.asarray([64.0, 64.0, 1.0]))
-    step = make_train_step(model, cfg, feat_hw=(4, 4), max_gt=4)
+    step = make_train_step(model, cfg)
     batch = jax.tree.map(jnp.asarray, make_batch(rng, B=2))
     state2, metrics = jax.jit(step)(state, batch)
     for k, v in jax.tree.map(float, metrics).items():

@@ -45,7 +45,7 @@ def test_overfit_synthetic_scene(rng):
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                jnp.zeros((64, 64, 3)),
                                jnp.asarray([64.0, 64.0, 1.0]))
-    step = jax.jit(make_train_step(model, cfg, feat_hw=(4, 4), max_gt=4))
+    step = jax.jit(make_train_step(model, cfg))
 
     img, gt, gv = make_scene(rng)
     batch = {

@@ -141,3 +141,118 @@ def test_predict_from_cached_proposals(rng):
     out = fn(params, img, jnp.asarray([64.0, 64.0, 1.0]), rois, valid)
     dets = np.asarray(out["dets"])
     assert dets.shape == (cfg.TEST.max_per_image, 6)
+
+
+def test_rcnn_train_step_learn_nms(rng):
+    """Learn-NMS + relation branch in the cached-proposal trainer (the
+    reference trains its best FPN numbers through function/train_rcnn.py with
+    the *_learn_nms symbols): losses finite and falling."""
+    cfg = tiny_cfg()                      # learn-NMS + relation, BATCH_ROIS=-1
+    model = build_model(cfg, tiny=True)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               jnp.zeros((64, 64, 3)),
+                               jnp.asarray([64.0, 64.0, 1.0]))
+    R, G, B = 20, 4, 1
+    step = jax.jit(make_train_step_rcnn(model, cfg, max_rois=R, max_gt=G))
+    x1 = rng.uniform(0, 30, (B, R)); y1 = rng.uniform(0, 30, (B, R))
+    rois = np.stack([x1, y1, x1 + rng.uniform(8, 30, (B, R)),
+                     y1 + rng.uniform(8, 30, (B, R))], -1).astype(np.float32)
+    gt = np.zeros((B, G, 5), np.float32)
+    gt[:, 0] = [10, 10, 30, 30, 1]
+    gt[:, 1] = [25, 30, 55, 60, 2]
+    gv = np.zeros((B, G), bool); gv[:, :2] = True
+    batch = jax.tree.map(jnp.asarray, {
+        "image": rng.randn(B, 64, 64, 3).astype(np.float32),
+        "im_info": np.tile([[64, 64, 1.0]], (B, 1)).astype(np.float32),
+        "rois": rois, "rois_valid": np.ones((B, R), bool),
+        "gt_boxes": gt, "gt_valid": gv})
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch)
+        m = jax.tree.map(float, m)
+        assert {"nms_pos_loss", "nms_neg_loss", "nms_acc_pos",
+                "nms_acc_neg"} <= set(m)
+        for k, v in m.items():
+            assert np.isfinite(v), (k, v)
+        losses.append(m["total_loss"])
+    assert losses[-1] < losses[0], losses
+
+
+def test_rcnn_train_step_custom_bbox_stats(rng):
+    """Roidb-computed means/stds thread through (bbox_regression.py:82-100)."""
+    cfg = tiny_cfg()
+    cfg.TRAIN.LEARN_NMS = False
+    cfg.TEST.LEARN_NMS = False
+    cfg.TRAIN.ENABLE_OHEM = False
+    cfg.TRAIN.BATCH_ROIS = 16
+    cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED = False
+    cfg.symbol = "resnet_v1_101_rcnn"
+    model = build_model(cfg, tiny=True)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               jnp.zeros((64, 64, 3)),
+                               jnp.asarray([64.0, 64.0, 1.0]))
+    R, G = 16, 4
+    step = jax.jit(make_train_step_rcnn(
+        model, cfg, max_rois=R, max_gt=G,
+        bbox_means=(0.01, -0.02, 0.1, 0.05), bbox_stds=(0.1, 0.1, 0.2, 0.2)))
+    x1 = rng.uniform(0, 30, (1, R)); y1 = rng.uniform(0, 30, (1, R))
+    rois = np.stack([x1, y1, x1 + 20, y1 + 20], -1).astype(np.float32)
+    gt = np.zeros((1, G, 5), np.float32); gt[:, 0] = [10, 10, 30, 30, 1]
+    gv = np.zeros((1, G), bool); gv[:, 0] = True
+    batch = jax.tree.map(jnp.asarray, {
+        "image": rng.randn(1, 64, 64, 3).astype(np.float32),
+        "im_info": np.asarray([[64, 64, 1.0]], np.float32),
+        "rois": rois, "rois_valid": np.ones((1, R), bool),
+        "gt_boxes": gt, "gt_valid": gv})
+    _, m = step(state, batch)
+    assert np.isfinite(float(m["total_loss"]))
+
+
+def test_add_bbox_regression_stats_oracle():
+    """Class-agnostic stats equal a direct mean/std of the candidate targets
+    (reference add_bbox_regression_targets, bbox_regression.py:82-100)."""
+    from relation_tpu.core.rpn_workflow import (add_bbox_regression_stats,
+                                                _np_bbox_transform)
+    gt = np.asarray([[10, 10, 40, 50], [60, 20, 90, 70]], np.float32)
+    props = np.asarray([[12, 8, 38, 52],     # overlaps gt0 well
+                        [58, 22, 88, 66],    # overlaps gt1 well
+                        [0, 0, 5, 5]], np.float32)   # background, below thresh
+    roidb = [{"boxes": gt, "gt_classes": np.asarray([1, 2]),
+              "iscrowd": np.zeros(2, bool), "proposals": props}]
+    means, stds = add_bbox_regression_stats(roidb, 3, True, 0.5)
+    # candidates >= 0.5 IoU: the 2 gt rows (targets 0) + first 2 proposals
+    cand = np.concatenate([np.zeros((2, 4)),
+                           _np_bbox_transform(props[:2],
+                                              gt)], axis=0)
+    np.testing.assert_allclose(means[1], cand.mean(axis=0), atol=1e-6)
+    np.testing.assert_allclose(stds[1], cand.std(axis=0), atol=1e-6)
+    assert means.shape == (2, 4) and (means[0] == 0).all()
+
+
+def test_evaluate_recall_area_breakdown():
+    """Greedy one-to-one matching + per-area recall (imdb.py:286-379)."""
+    # one image: 2 gt (one small 20x20=400 in '0-25', one 60x60 in '50-100'),
+    # one proposal exactly covering the small gt only
+    gt = np.asarray([[0, 0, 19, 19], [100, 100, 159, 159]], np.float32)
+    roidb = [{"boxes": gt, "gt_classes": np.asarray([1, 1]),
+              "iscrowd": np.zeros(2, bool)}]
+    props = [np.asarray([[0, 0, 19, 19, 0.9]], np.float32)]
+    rec = evaluate_recall(roidb, props)
+    assert rec["num_gt"] == 2
+    # all-range: 1 of 2 gt covered at every threshold
+    np.testing.assert_allclose(rec["areas"]["all"]["recalls"], 0.5)
+    np.testing.assert_allclose(rec["areas"]["0-25"]["recalls"], 1.0)
+    assert rec["areas"]["50-100"]["num_pos"] == 1
+    np.testing.assert_allclose(rec["areas"]["50-100"]["recalls"], 0.0)
+    assert abs(sum(rec["proposal_area_pct"].values()) - 1.0) < 1e-6
+
+
+def test_evaluate_recall_greedy_one_to_one():
+    """One proposal cannot count for two gt (the reference retires matched
+    proposals, imdb.py:339-357) — a max-per-gt shortcut would report 1.0."""
+    gt = np.asarray([[0, 0, 19, 19], [2, 2, 21, 21]], np.float32)
+    roidb = [{"boxes": gt, "gt_classes": np.asarray([1, 1]),
+              "iscrowd": np.zeros(2, bool)}]
+    props = [np.asarray([[0, 0, 19, 19, 0.9]], np.float32)]
+    rec = evaluate_recall(roidb, props, thresholds=[0.5])
+    assert rec["areas"]["all"]["recalls"][0] == 0.5

@@ -195,3 +195,86 @@ def test_nms_multi_target_matches_oracle(rng):
     want = np_nms_multi_target(bbox, gt[:4], score, threshes)
     np.testing.assert_array_equal(got, want)
     assert want.sum() > 0                      # the test actually fired targets
+
+
+def np_sample_rois_oracle(rois, gt, batch_rois, fg_fraction, fg_thresh,
+                          bg_hi, bg_lo, rng):
+    """Reference sample_rois distribution (core/rcnn.py:329-383): fg/bg draw
+    without replacement, then gap rows drawn uniformly from ALL rois (repeats
+    of selected rois possible), labels by own overlap (< bg_hi -> 0)."""
+    all_rois = np.concatenate([rois, gt[:, :4]])
+    ov = np_bbox_overlaps(all_rois, gt[:, :4])
+    assign = ov.argmax(1)
+    mo = ov.max(1)
+    labels = gt[assign, 4]
+    fg_idx = np.where(mo >= fg_thresh)[0]
+    n_fg = min(int(round(fg_fraction * batch_rois)), len(fg_idx))
+    fg_idx = rng.choice(fg_idx, n_fg, replace=False)
+    bg_idx = np.where((mo < bg_hi) & (mo >= bg_lo))[0]
+    n_bg = min(batch_rois - n_fg, len(bg_idx))
+    bg_idx = rng.choice(bg_idx, n_bg, replace=False)
+    keep = np.append(fg_idx, bg_idx)
+    while len(keep) < batch_rois:
+        gap = min(len(all_rois), batch_rois - len(keep))
+        keep = np.append(keep, rng.choice(len(all_rois), gap, replace=False))
+    keep = keep[:batch_rois].astype(int)
+    lab = labels[keep].copy()
+    lab[mo[keep] < bg_hi] = 0
+    return keep, lab
+
+
+def test_sample_rois_repeat_padding_distribution(rng):
+    """pad_mode='repeat' matches the reference's gap-sampling distribution:
+    fixed fg/bg counts per draw, and padded minibatches contain duplicate rois
+    at the oracle's rate (the 'distinct' mode provably cannot duplicate)."""
+    R, G = 12, 2
+    gt, gvalid = make_gt(rng, G, G)
+    # 3 fg rois near gt0, 4 bg far away -> 7 candidates + 2 gt rows, so a
+    # 16-roi minibatch needs ~7 gap rows every draw
+    fgs = gt[0, :4] + rng.uniform(-2, 2, (3, 4))
+    bgs = np.stack([rng.uniform(150, 170, R - 3)] * 4, 1) + [[0, 0, 15, 15]]
+    rois = np.concatenate([fgs, bgs]).astype(np.float32)
+    valid = np.ones(R, bool)
+    BATCH = 16
+
+    fg_counts, dup_counts = [], []
+    for t in range(30):
+        out = sample_rois(jnp.asarray(rois), jnp.asarray(valid),
+                          jnp.asarray(gt), jnp.asarray(gvalid),
+                          jax.random.PRNGKey(t), batch_rois=BATCH,
+                          num_reg_classes=2, fg_fraction=0.25)
+        lab = np.asarray(out["label"])
+        sel = np.asarray(out["rois"])
+        assert lab.shape == (BATCH,) and (lab >= 0).all()   # no ignore rows
+        fg_counts.append((lab > 0).sum())
+        uniq = len(np.unique(sel.round(3), axis=0))
+        dup_counts.append(BATCH - uniq)
+
+    o_fg, o_dup = [], []
+    nprng = np.random.RandomState(0)
+    for _ in range(200):
+        keep, lab = np_sample_rois_oracle(rois, gt, BATCH, 0.25, 0.5, 0.5,
+                                          0.0, nprng)
+        o_fg.append((lab > 0).sum())
+        o_dup.append(BATCH - len(np.unique(keep)))
+
+    # every minibatch needs gap rows here -> duplicates must occur
+    assert np.mean(dup_counts) > 0, "repeat mode produced no duplicates"
+    assert abs(np.mean(fg_counts) - np.mean(o_fg)) < 1.0, \
+        (np.mean(fg_counts), np.mean(o_fg))
+    assert abs(np.mean(dup_counts) - np.mean(o_dup)) < 1.5, \
+        (np.mean(dup_counts), np.mean(o_dup))
+
+
+def test_sample_rois_distinct_mode_no_duplicates(rng):
+    R, G = 12, 2
+    gt, gvalid = make_gt(rng, G, G)
+    rois = np.concatenate([gt[0, :4] + rng.uniform(-2, 2, (3, 4)),
+                           np.stack([rng.uniform(150, 170, R - 3)] * 4, 1)
+                           + [[0, 0, 15, 15]]]).astype(np.float32)
+    out = sample_rois(jnp.asarray(rois), jnp.ones(R, bool), jnp.asarray(gt),
+                      jnp.asarray(gvalid), jax.random.PRNGKey(0),
+                      batch_rois=14, num_reg_classes=2, fg_fraction=0.25,
+                      pad_mode="distinct")
+    sel = np.asarray(out["rois"])
+    assert len(np.unique(sel.round(3), axis=0)) == 14

@@ -62,7 +62,7 @@ def test_train_step_and_predict(rng):
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                jnp.zeros((64, 64, 3)),
                                jnp.asarray([64.0, 64.0, 1.0]))
-    step = make_train_step(model, cfg, feat_hw=(4, 4), max_gt=4)
+    step = make_train_step(model, cfg)
 
     batch = jax.tree.map(jnp.asarray, make_batch(rng, B=2))
     p0 = jax.tree.map(np.asarray, state.params)
@@ -110,7 +110,7 @@ def test_train_step_sharded_dp(rng):
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                jnp.zeros((64, 64, 3)),
                                jnp.asarray([64.0, 64.0, 1.0]))
-    step = make_train_step(model, cfg, feat_hw=(4, 4), max_gt=4)
+    step = make_train_step(model, cfg)
 
     batch = shard_batch(mesh, make_batch(rng, B=8))
     state = jax.device_put(state, replicated(mesh))

@@ -231,7 +231,14 @@ def main():
         print("  missing:", m)
     for u in unused[:20]:
         print("  unused:", u)
-    save_params(args.out, params)
+    # tag the output so eval defaults to exact ROIPooling (the reference head
+    # is rounding max-pool ROIPooling, resnet_v1_101_rcnn_base.py:790-791;
+    # ROIAlign under converted weights would not reproduce its detections)
+    save_params(args.out, params, meta={
+        "source": "mxnet_reference",
+        "roi_method": "pool",
+        "test_weights": str(bool(args.use_test_weights)).lower(),
+    })
     print("wrote", args.out)
 
 

@@ -40,8 +40,7 @@ def main():
                                jnp.zeros((12, H // 2, W // 2)),
                                jnp.asarray([float(H), float(W), 1.0]))
     max_gt = int(cfg.TPU.get("MAX_GT", 100))
-    step = make_train_step(model, cfg, feat_hw=(H // 16, W // 16),
-                           max_gt=max_gt)
+    step = make_train_step(model, cfg)
 
     B = 1
     gt = np.zeros((B, max_gt, 5), np.float32)
