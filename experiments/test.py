@@ -91,6 +91,9 @@ def main():
             cfg.TPU.ROI_METHOD = meta["roi_method"]
             print(f"checkpoint meta: roi_method={meta['roi_method']} "
                   f"(source={meta.get('source', '?')})")
+            if meta["roi_method"] == "pool":
+                # full parity mode: exact pre-NMS top-k for FPN proposals too
+                cfg.TPU.FPN_TOPK = "exact"
 
     cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
     logger, out_path = create_logger(cfg.output_path or "output", cfg_name,

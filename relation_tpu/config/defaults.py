@@ -174,6 +174,11 @@ def default_config() -> AttrDict:
     # ROI feature extraction: "align" (MXU ROIAlign, TPU default) or "pool"
     # (exact MXNet ROIPooling semantics for reference parity).
     TPU.ROI_METHOD = "align"
+    # FPN proposal pre-NMS top-k over the ~622k pyramid anchors: "approx"
+    # (lax.approx_max_k, recall 0.999, 385 us) or "exact" (lax.top_k — a full
+    # sort on TPU, ~920 us). Parity eval of converted reference weights flips
+    # this to "exact" (experiments/test.py meta handling, like ROI_METHOD).
+    TPU.FPN_TOPK = "approx"
     # Fused VMEM-resident res4b1..22 Pallas stack (ops/pallas/res4.py).
     # Default OFF: on v5e at 608x1024 the custom call breaks XLA's
     # space-to-batch conv rewrites upstream (~423 MB of wrapper copies,

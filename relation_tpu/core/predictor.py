@@ -115,7 +115,8 @@ def make_predict_fn(model: RelationRCNN, cfg, feat_hw: tuple[int, int]):
             rois, roi_scores, roi_real = generate_proposals_fpn(
                 rpn_out, level_anchors, im_info,
                 int(cfg.TEST.RPN_PRE_NMS_TOP_N), int(cfg.TEST.RPN_POST_NMS_TOP_N),
-                float(cfg.TEST.RPN_NMS_THRESH), float(cfg.TEST.RPN_MIN_SIZE))
+                float(cfg.TEST.RPN_NMS_THRESH), float(cfg.TEST.RPN_MIN_SIZE),
+                topk=str(cfg.TPU.get("FPN_TOPK", "exact")))
         else:
             feat, rpn_cls, rpn_bbox = model.apply(
                 {"params": params}, image, res4_folded,

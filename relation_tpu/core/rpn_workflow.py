@@ -55,7 +55,8 @@ def generate_rpn_proposals(model, params, cfg, roidb, out_path: str,
                 int(cfg.TEST.PROPOSAL_PRE_NMS_TOP_N),
                 int(cfg.TEST.PROPOSAL_POST_NMS_TOP_N),
                 float(cfg.TEST.PROPOSAL_NMS_THRESH),
-                float(cfg.TEST.PROPOSAL_MIN_SIZE))
+                float(cfg.TEST.PROPOSAL_MIN_SIZE),
+                topk=str(cfg.TPU.get("FPN_TOPK", "exact")))
         feat, rpn_cls, rpn_bbox = model.apply(
             {"params": params}, image, method=type(model).features_and_rpn)
         import jax.nn
@@ -398,10 +399,13 @@ def make_train_step_rpn(model, cfg, max_gt: int):
                 tuple(cfg.network.ANCHOR_SCALES),
                 tuple(cfg.network.ANCHOR_RATIOS))
             anchors = jnp.concatenate([anchors_d[s] for s in FPN_STRIDES])
+            # raw conv layout: same (h, w, a)-major rows as the old unpack
             rpn_cls = jnp.concatenate(
-                [rpn_out[s][0].reshape(-1, 2) for s in FPN_STRIDES])
+                [rpn_out[s][0].astype(jnp.float32).reshape(-1, 2)
+                 for s in FPN_STRIDES])
             rpn_bbox = jnp.concatenate(
-                [rpn_out[s][1].reshape(-1, 4) for s in FPN_STRIDES])
+                [rpn_out[s][1].astype(jnp.float32).reshape(-1, 4)
+                 for s in FPN_STRIDES])
         else:
             _, rpn_cls, rpn_bbox = model.apply(
                 {"params": params}, image, method=type(model).features_and_rpn)

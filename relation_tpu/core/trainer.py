@@ -168,10 +168,14 @@ def make_train_step(model: RelationRCNN, cfg) -> Callable:
                 {s: rpn_out[s][0].shape[:2] for s in FPN_STRIDES},
                 tuple(cfg.network.ANCHOR_SCALES), tuple(cfg.network.ANCHOR_RATIOS))
             anchors = jnp.concatenate([level_anchors[s] for s in FPN_STRIDES])
+            # raw [h,w,2A]/[h,w,4A] conv layout: reshape(-1, {2,4}) gives the
+            # same (h, w, a)-major rows as the old [h,w,A,{2,4}] unpack
             rpn_cls = jnp.concatenate(
-                [rpn_out[s][0].reshape(-1, 2) for s in FPN_STRIDES])
+                [rpn_out[s][0].astype(jnp.float32).reshape(-1, 2)
+                 for s in FPN_STRIDES])
             rpn_bbox = jnp.concatenate(
-                [rpn_out[s][1].reshape(-1, 4) for s in FPN_STRIDES])
+                [rpn_out[s][1].astype(jnp.float32).reshape(-1, 4)
+                 for s in FPN_STRIDES])
         else:
             feat, rpn_cls, rpn_bbox = model.apply(
                 {"params": params}, image, method=RelationRCNN.features_and_rpn)
@@ -197,7 +201,8 @@ def make_train_step(model: RelationRCNN, cfg) -> Callable:
                 jax.tree.map(jax.lax.stop_gradient, rpn_out), level_anchors,
                 im_info, int(cfg.TRAIN.RPN_PRE_NMS_TOP_N),
                 int(cfg.TRAIN.RPN_POST_NMS_TOP_N),
-                float(cfg.TRAIN.RPN_NMS_THRESH), float(cfg.TRAIN.RPN_MIN_SIZE))
+                float(cfg.TRAIN.RPN_NMS_THRESH), float(cfg.TRAIN.RPN_MIN_SIZE),
+                topk=str(cfg.TPU.get("FPN_TOPK", "exact")))
         else:
             fg_prob = jax.nn.softmax(rpn_cls, axis=-1)[..., 1]
             rois, _, _ = generate_proposals(

@@ -119,6 +119,11 @@ class RelationRCNNFPN(nn.Module):
     head_dim: int = 1024
     # compute dtype for the ROI-head FCs and relation attention (see detector.py)
     head_dtype: Any = jnp.float32
+    # False: all head attention pure-XLA. Historical default — a Pallas call
+    # consuming conv-derived tensors was measured to forfeit the pyramid's
+    # stride-4/8 space-to-batch conv rewrites (round-1 note: +5.6 ms). Kept as
+    # a switch for in-context A/B (tools/microbench_fpn.py).
+    allow_pallas: bool = False
 
     def setup(self):
         if self.backbone == "resnet101":
@@ -138,18 +143,14 @@ class RelationRCNNFPN(nn.Module):
                                      param_dtype=jnp.float32,
                                      kernel_init=_norm_init)
         if self.use_relation:
-            # allow_pallas=False: the pyramid's stride-4/8 convs lose their
-            # space-to-batch rewrites if ANY pallas call consumes conv-derived
-            # tensors (measured +5.6 ms on this graph); all head attention
-            # runs pure-XLA here
             self.relation_1 = RelationModule(index=1, dim_qk=self.head_dim,
                                              dim_out=self.head_dim,
                                              dtype=self.head_dtype,
-                                             allow_pallas=False)
+                                             allow_pallas=self.allow_pallas)
             self.relation_2 = RelationModule(index=2, dim_qk=self.head_dim,
                                              dim_out=self.head_dim,
                                              dtype=self.head_dtype,
-                                             allow_pallas=False)
+                                             allow_pallas=self.allow_pallas)
         self.cls_score = nn.Dense(self.num_classes, name="cls_score",
                                   kernel_init=_norm_init)
         num_reg = 2 if self.class_agnostic else self.num_classes
@@ -160,14 +161,22 @@ class RelationRCNNFPN(nn.Module):
                 num_fg_classes=self.num_classes - 1, first_n=self.first_n,
                 num_thresh=self.num_thresh, class_agnostic=self.class_agnostic,
                 bbox_means=self.bbox_means, bbox_stds=self.bbox_stds,
-                attn_dtype=self.head_dtype, allow_pallas=False)
+                attn_dtype=self.head_dtype, allow_pallas=self.allow_pallas)
 
     def features_and_rpn(self, image):
-        """image [H, W, 3] -> ({stride: feat}, {stride: (rpn_cls, rpn_bbox)})."""
+        """image [H, W, 3] -> ({stride: feat}, {stride: (rpn_cls, rpn_bbox)}).
+
+        RPN outputs stay in RAW conv layout ([h, w, 2A] / [h, w, 4A], channel
+        c = a*2+j resp. a*4+j): the [h, w, A, 2] unpack lane-pads 2 -> 128 on
+        TPU, which at the stride-4 level alone is ~300 MB of padding traffic.
+        ``.reshape(-1, 2)`` / ``.reshape(-1, 4)`` on the raw layout yields the
+        SAME (h, w, a)-major row order as the unpacked form, so loss-side
+        consumers are unchanged; the proposal decode slices channel planes from
+        a [C, h, w] transpose instead (generate_proposals_fpn)."""
         feats = self.c4(image[None])          # {2,3,4} multi-stage
         feats[5] = self.c5(feats[4])
         pyramid = self.neck(feats)
-        rpn_out = {s: self.rpn(pyramid[s]) for s in FPN_STRIDES}
+        rpn_out = {s: self.rpn(pyramid[s], raw=True) for s in FPN_STRIDES}
         return ({s: f[0] for s, f in pyramid.items()},
                 {s: (c[0], b[0]) for s, (c, b) in rpn_out.items()})
 
@@ -244,33 +253,50 @@ def fpn_anchors(feat_shapes: dict, scales, ratios):
 
 def generate_proposals_fpn(rpn_out: dict, anchors: dict, im_info,
                            pre_nms_top_n: int, post_nms_top_n: int,
-                           nms_thresh: float, min_size: float):
+                           nms_thresh: float, min_size: float,
+                           use_kernel: bool | None = False,
+                           topk: str = "exact"):
     """Joint over-pyramid proposal generation: decode every level, merge, one
     top-k + NMS (the static-shape analogue of the reference FPN proposal path).
 
-    rpn_out: {stride: (rpn_cls [h,w,A,2], rpn_bbox [h,w,A,4])}.
+    rpn_out: {stride: (rpn_cls [h,w,2A] raw conv layout, rpn_bbox [h,w,4A])}.
     Returns (rois [post_N, 4], scores [post_N], real [post_N]).
     """
     # TPU layout note (mirrors models/rpn.py::generate_proposals): the decode
-    # runs on dense [N] coordinate VECTORS — an [N, 4] box tensor over all
-    # ~155k pyramid anchors is lane-padded 4->128 on TPU (~80 MB). The
-    # per-level anchor grids are jit constants (static shapes), so their
-    # planar transpose is free at compile time. Measured with all levels as
-    # traced args: ~1.6 ms (top_k over 155k ~150 us + 4 planar gathers
-    # ~360 us + presorted NMS + decode ~13 us).
+    # runs on dense [N] coordinate VECTORS in (a, h, w) flatten order per
+    # level — an [N, 4] box tensor over all ~155k pyramid anchors would be
+    # lane-padded 4->128 (~80 MB), and the previous [h, w, A, {2,4}] unpack
+    # of the RPN conv outputs lane-padded {2,4} -> 128 (~64x waste on the
+    # stride-4 level). Channel planes are sliced from one [C, h, w]
+    # transpose; anchor coordinates are broadcast [A, H, W] planes (constant
+    # base anchors, never an [N, 4] grid).
     # MEASUREMENT TRAP: timing this with closed-over level outputs (jit
     # constants) reads ~3x slower — big padded constants are re-staged per
     # call. Decompose FPN stages only with traced-arg harnesses.
     sc, px1, py1, px2, py2 = [], [], [], [], []
     for stride, (cls, bbox) in rpn_out.items():
-        H, W, A, _ = cls.shape
-        fg = jax.nn.softmax(cls, axis=-1)[..., 1].reshape(-1)   # (h, w, a)
-        aT = anchors[stride].T                                  # [4, K] const
-        ax1, ay1, ax2, ay2 = aT[0], aT[1], aT[2], aT[3]
-        dx = bbox[..., 0].reshape(-1)
-        dy = bbox[..., 1].reshape(-1)
-        dw = bbox[..., 2].reshape(-1)
-        dh = bbox[..., 3].reshape(-1)
+        H, W = cls.shape[0], cls.shape[1]
+        A = cls.shape[2] // 2
+        tc = cls.transpose(2, 0, 1).astype(jnp.float32)         # [2A, H, W]
+        # 2-class softmax fg prob == sigmoid(fg_logit - bg_logit)
+        fg = jax.nn.sigmoid((tc[1::2] - tc[0::2]).reshape(-1))  # (a, h, w)
+        td = bbox.transpose(2, 0, 1).astype(jnp.float32)        # [4A, H, W]
+        dx = td[0::4].reshape(-1)
+        dy = td[1::4].reshape(-1)
+        dw = td[2::4].reshape(-1)
+        dh = td[3::4].reshape(-1)
+
+        # anchor grid as dense [A, H, W] planes; anchors[stride] is the
+        # (h, w, a)-ordered [K, 4] constant, whose first A rows are the cell
+        # (0, 0) base anchors
+        base = anchors[stride][:A]
+        sx = jnp.arange(W, dtype=jnp.float32)[None, None, :] * stride
+        sy = jnp.arange(H, dtype=jnp.float32)[None, :, None] * stride
+        zero = jnp.zeros((A, H, W), jnp.float32)
+        ax1 = (base[:, 0][:, None, None] + sx + zero).reshape(-1)
+        ay1 = (base[:, 1][:, None, None] + sy + zero).reshape(-1)
+        ax2 = (base[:, 2][:, None, None] + sx + zero).reshape(-1)
+        ay2 = (base[:, 3][:, None, None] + sy + zero).reshape(-1)
 
         aw = ax2 - ax1 + 1.0
         ah = ay2 - ay1 + 1.0
@@ -287,9 +313,9 @@ def generate_proposals_fpn(rpn_out: dict, anchors: dict, im_info,
 
         valid_h = jnp.floor(im_info[0] / stride).astype(jnp.int32)
         valid_w = jnp.floor(im_info[1] / stride).astype(jnp.int32)
-        cell_ok = ((jnp.arange(H)[:, None] < valid_h) &
-                   (jnp.arange(W)[None, :] < valid_w))
-        cell_ok = jnp.broadcast_to(cell_ok[:, :, None], (H, W, A)).reshape(-1)
+        cell_ok = ((jnp.arange(H)[None, :, None] < valid_h) &
+                   (jnp.arange(W)[None, None, :] < valid_w))
+        cell_ok = jnp.broadcast_to(cell_ok, (A, H, W)).reshape(-1)
         ms = min_size * im_info[2]
         size_ok = ((x2 - x1 + 1.0) >= ms) & ((y2 - y1 + 1.0) >= ms)
         sc.append(jnp.where(cell_ok & size_ok, fg, -1e10))
@@ -300,7 +326,17 @@ def generate_proposals_fpn(rpn_out: dict, anchors: dict, im_info,
 
     scores = jnp.concatenate(sc)
     k = min(pre_nms_top_n, scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(scores, k)
+    if topk == "approx":
+        # the pyramid has ~622k anchors at 608x1024 and XLA's exact TopK is a
+        # full sort regardless of k (~920 us measured); approx_max_k's
+        # PartialReduce + exact aggregation costs 385 us at recall 0.999
+        # (expected ~6 of the 6000 pre-NMS candidates missed, all near the
+        # rank-6000 boundary — immaterial after NMS to 300). The exact path
+        # remains the default and the parity setting (cfg.TPU.FPN_TOPK).
+        top_scores, top_idx = jax.lax.approx_max_k(
+            scores, k, recall_target=0.999, aggregate_to_topk=True)
+    else:
+        top_scores, top_idx = jax.lax.top_k(scores, k)
     x1 = jnp.concatenate(px1)[top_idx]
     y1 = jnp.concatenate(py1)[top_idx]
     x2 = jnp.concatenate(px2)[top_idx]
@@ -309,10 +345,11 @@ def generate_proposals_fpn(rpn_out: dict, anchors: dict, im_info,
     top_valid = top_scores > -1e9
     # top_k output is descending -> presorted single-launch NMS sweep
     # (see models/rpn.py::generate_proposals)
-    # use_kernel=False: the pyramid's stride-4/8 convs are space-to-batch
-    # eligible, and a Pallas NMS call downstream forfeits their s2b rewrites
-    # (+5.6 ms/image measured) — the XLA while-loop sweep keeps them intact
+    # use_kernel=False default: the pyramid's stride-4/8 convs are space-to-
+    # batch eligible, and a Pallas NMS call downstream was measured (round 1)
+    # to forfeit their s2b rewrites — the XLA while-loop sweep keeps them
+    # intact. Switchable for in-context A/B (tools/microbench_fpn.py).
     keep_idx, real = nms_topk_presorted(top_bT, top_scores, top_valid,
                                         nms_thresh, post_nms_top_n,
-                                        use_kernel=False)
+                                        use_kernel=use_kernel)
     return top_bT[:, keep_idx].T, top_scores[keep_idx], real

@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from relation_tpu.ops import bbox_pred, clip_boxes, filter_boxes_mask
 from relation_tpu.ops.nms import nms_topk_presorted
 
 _NEG_INF = -1e10
@@ -34,7 +33,7 @@ class RPNHead(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, feat):
+    def __call__(self, feat, raw: bool = False):
         a = self.num_anchors
         x = nn.Conv(512, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                     param_dtype=jnp.float32, name="rpn_conv_3x3")(feat)
@@ -43,7 +42,13 @@ class RPNHead(nn.Module):
                       name="rpn_cls_score")(x)
         bbox = nn.Conv(4 * a, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
                        name="rpn_bbox_pred")(x)
-        h, w = cls.shape[-3], cls.shape[-2]
+        if raw:
+            # conv layouts [..., H, W, 2A] / [..., H, W, 4A], channel c = a*2+j
+            # (bg, fg) resp. a*4+j (dx, dy, dw, dh) — the [..., A, 2] reshape
+            # below lane-pads 2 -> 128 on TPU (64x HBM waste, ruinous on the
+            # big FPN stride-4/8 levels); planar consumers slice channels from
+            # a [C, H, W] transpose instead (models/fpn.py decode)
+            return cls, bbox
         cls = cls.reshape(cls.shape[:-1] + (a, 2)).astype(jnp.float32)
         bbox = bbox.reshape(bbox.shape[:-1] + (a, 4)).astype(jnp.float32)
         return cls, bbox   # [..., H, W, A, 2], [..., H, W, A, 4]

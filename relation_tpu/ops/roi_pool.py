@@ -142,10 +142,21 @@ def roi_align_mxu(feat: jnp.ndarray, rois: jnp.ndarray, spatial_scale: float,
     Bx = interp_matrix(xs, W)                                    # [R, P, W]
 
     dt = jnp.bfloat16 if feat.dtype == jnp.bfloat16 else jnp.float32
-    a = jnp.einsum("rph,hwc->rpwc", By.astype(dt), feat.astype(dt),
-                   preferred_element_type=jnp.float32)           # [R, P, W, C]
-    out = jnp.einsum("rpwc,rqw->rpqc", a, Bx.astype(dt),
-                     preferred_element_type=jnp.float32)
+    # contract the LARGER spatial axis first so the materialized per-ROI
+    # intermediate keeps the smaller one ([R, P, min(H,W), C]); stored in the
+    # compute dtype (accumulation stays f32 via preferred_element_type). On
+    # the FPN stride-4 level (152x256x256, 300 ROIs) the original H-first f32
+    # intermediate was ~550 MB of HBM round trip — the dominant pooling cost.
+    if W >= H:
+        a = jnp.einsum("rqw,hwc->rqhc", Bx.astype(dt), feat.astype(dt),
+                       preferred_element_type=jnp.float32).astype(dt)
+        out = jnp.einsum("rph,rqhc->rpqc", By.astype(dt), a,
+                         preferred_element_type=jnp.float32)
+    else:
+        a = jnp.einsum("rph,hwc->rpwc", By.astype(dt), feat.astype(dt),
+                       preferred_element_type=jnp.float32).astype(dt)
+        out = jnp.einsum("rpwc,rqw->rpqc", a, Bx.astype(dt),
+                         preferred_element_type=jnp.float32)
     return out.astype(feat.dtype)
 
 

@@ -46,7 +46,7 @@ def measure(fn, params, image, im_info, n=100, k=3):
     return best / n * 1e3
 
 
-def build(symbol, learn_nms=True):
+def build(symbol, learn_nms=True, **model_overrides):
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_cfg
@@ -60,6 +60,8 @@ def build(symbol, learn_nms=True):
     if "fpn" in symbol:
         cfg.network.RPN_FEAT_STRIDE = 16      # flagship pyramid base
     model = build_model(cfg)
+    if model_overrides:
+        model = model.clone(**model_overrides)
     H, W = 608, 1024
     n0 = int(cfg.TEST.FIRST_N) + 1
     rois0 = jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (n0, 1))
