@@ -20,11 +20,17 @@ from relation_tpu.data.eval import CocoEvaluator, format_coco_summary
 
 def pred_eval(model, params, cfg, dataset, roidb, logger=None,
               cache_path: str | None = None, ignore_cache: bool = False,
-              loader=None, proposal_file: str | None = None):
+              loader=None, proposal_file: str | None = None,
+              predict_fns: dict | None = None):
     """Returns (results dict, dets_per_image). roidb entries need image/image_id.
 
     With ``proposal_file`` the reference's TEST.HAS_RPN=false path runs instead:
-    head-only inference on cached proposals (function/test_rcnn.py:40-74)."""
+    head-only inference on cached proposals (function/test_rcnn.py:40-74).
+
+    ``predict_fns``: optional {feat_hw: jitted fn} cache shared across calls —
+    pass the same dict to successive pred_eval calls (e.g. a warmup pass then
+    the timed set) to reuse compiled programs (one ~20 s XLA compile per image
+    bucket otherwise repeats per call)."""
     import jax.numpy as jnp
     from relation_tpu.data.loader import TestLoader, ProposalTestLoader
 
@@ -40,7 +46,7 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
             predict_rcnn = make_predict_fn_rcnn(model, cfg)
         else:
             loader = loader or TestLoader(roidb, cfg)
-        predict_fns = {}
+        predict_fns = {} if predict_fns is None else predict_fns
         # once per checkpoint: BN-fold the res4 stacks (None unless
         # cfg.TPU.FUSE_RES4 opts in to the fused-backbone kernel)
         res4_folded = prepare_res4_folded(
@@ -54,6 +60,7 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
         # asnumpy sync, core/tester.py:139-148, has no such overlap).
         window: list[tuple] = []
         depth = int(cfg.TPU.get("EVAL_PIPELINE_DEPTH", 8))
+        log_every = int(cfg.TPU.get("EVAL_LOG_EVERY", 200))
 
         def drain(entry):
             # the blocking np.asarray join is accounted to t_fetch, NOT t_net,
@@ -101,7 +108,7 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
             t_net += time.time() - t
             if len(window) >= depth:
                 drain(window.pop(0))
-            if (i + 1) % 200 == 0:
+            if (i + 1) % log_every == 0:
                 n = i + 1
                 log(f"{n}/{len(loader)} data {t_data / n:.4f}s net {t_net / n:.4f}s "
                     f"fetch {t_fetch / n:.4f}s post {t_post / n:.4f}s")

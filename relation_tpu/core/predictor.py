@@ -33,6 +33,38 @@ from relation_tpu.ops.nms import classwise_nms, soft_nms
 _NEG_INF = -1e10
 
 
+def _image_from_u8(image, im_info, pixel_means):
+    """Device-side completion of the host image pipeline for uint8 inputs
+    (TPU.H2D_UINT8): exact mean subtraction + re-zeroing of the bucket pad.
+
+    The host ships post-resize uint8 pixels (data/image.py::prepare_image with
+    ``pixel_means=None``) because the per-image H2D transfer serializes the
+    device stream through this environment's tunnel — uint8 is 4x fewer bytes
+    (measured 7.4 -> 15.3 img/s in-stream). uint8->f32 is exact and the pad
+    region is forced back to 0.0 (the host-f32 path mean-subs BEFORE padding,
+    so pads are zero there), making detections bit-identical.
+
+    Handles both loader layouts: s2d planar [12, H/2, W/2] (channel k =
+    row_phase*6 + col_phase*3 + bgr_c, data/image.py::to_s2d_planar) and NHWC
+    [H, W, 3]. No-op for non-uint8 inputs (dtype is static under jit).
+    """
+    if image.dtype != jnp.uint8:
+        return image
+    means = jnp.asarray(pixel_means, jnp.float32).reshape(-1)
+    h, w = im_info[0], im_info[1]
+    if image.ndim == 3 and image.shape[0] == 12 and image.shape[-1] != 3:
+        k = jnp.arange(12)
+        x = image.astype(jnp.float32) - means[k % 3][:, None, None]
+        hh, ww = image.shape[1], image.shape[2]
+        row_ok = (2.0 * jnp.arange(hh)[None, :] + (k // 6)[:, None]) < h
+        col_ok = (2.0 * jnp.arange(ww)[None, :] + ((k // 3) % 2)[:, None]) < w
+        return x * (row_ok[:, :, None] & col_ok[:, None, :])
+    x = image.astype(jnp.float32) - means[None, None, :]
+    row_ok = jnp.arange(image.shape[0], dtype=jnp.float32)[:, None, None] < h
+    col_ok = jnp.arange(image.shape[1], dtype=jnp.float32)[None, :, None] < w
+    return x * (row_ok & col_ok)
+
+
 def _topk_detections(cls_ids, scores, boxes, valid, max_det):
     """Global max_per_image cut over all classes (tester.py:270-277), padded."""
     masked = jnp.where(valid, scores, _NEG_INF)
@@ -103,7 +135,10 @@ def make_predict_fn(model: RelationRCNN, cfg, feat_hw: tuple[int, int]):
                                          generate_proposals_fpn, FPN_STRIDES)
     is_fpn = isinstance(model, RelationRCNNFPN)
 
+    pixel_means = tuple(float(m) for m in cfg.network.PIXEL_MEANS)
+
     def predict(params, image, im_info, res4_folded=None):
+        image = _image_from_u8(image, im_info, pixel_means)
         if is_fpn:
             feat, rpn_out = model.apply(
                 {"params": params}, image,
@@ -220,7 +255,10 @@ def make_predict_fn_rcnn(model, cfg):
     stds = tuple(cfg.TRAIN.BBOX_STDS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None
     means = tuple(cfg.TRAIN.BBOX_MEANS) if cfg.TRAIN.BBOX_NORMALIZATION_PRECOMPUTED else None
 
+    pixel_means = tuple(float(m) for m in cfg.network.PIXEL_MEANS)
+
     def predict(params, image, im_info, rois, rois_valid):
+        image = _image_from_u8(image, im_info, pixel_means)
         if is_fpn:
             feat, _ = model.apply({"params": params}, image,
                                   method=RelationRCNNFPN.features_and_rpn)

@@ -41,8 +41,12 @@ def generate_rpn_proposals(model, params, cfg, roidb, out_path: str,
     base_anchors = generate_anchors(stride, tuple(cfg.network.ANCHOR_RATIOS),
                                     tuple(cfg.network.ANCHOR_SCALES))
 
+    pixel_means = tuple(float(m) for m in cfg.network.PIXEL_MEANS)
+
     @jax.jit
     def rpn_forward(params, image, im_info):
+        from relation_tpu.core.predictor import _image_from_u8
+        image = _image_from_u8(image, im_info, pixel_means)
         if is_fpn:
             _, rpn_out = model.apply({"params": params}, image,
                                      method=RelationRCNNFPN.features_and_rpn)

@@ -23,11 +23,12 @@ except ImportError:          # pragma: no cover
 
 
 def load_image_bgr(path: str) -> np.ndarray:
-    """Read an image file -> float32 [H, W, 3] BGR."""
+    """Read an image file -> uint8 [H, W, 3] BGR (kept uint8 through resize;
+    the f32 cast happens at mean-sub, host- or device-side — see resize_im)."""
     if not _HAS_PIL:
         raise RuntimeError("PIL unavailable")
     with Image.open(path) as im:
-        rgb = np.asarray(im.convert("RGB"), dtype=np.float32)
+        rgb = np.asarray(im.convert("RGB"), dtype=np.uint8)
     return rgb[:, :, ::-1]
 
 
@@ -41,11 +42,14 @@ def resize_im(im: np.ndarray, target_size: int, max_size: int):
     if round(scale * im_size_max) > max_size:
         scale = float(max_size) / im_size_max
     if _HAS_PIL:
+        # uint8 out: the f32 cast happens in transform() (host mean-sub path)
+        # or on device (TPU.H2D_UINT8 — predictor._image_from_u8); uint8->f32
+        # is exact, so both paths see bit-identical pixels
         out = np.asarray(Image.fromarray(im.astype(np.uint8)).resize(
             (int(round(w * scale)), int(round(h * scale))), Image.BILINEAR),
-            dtype=np.float32)
+            dtype=np.uint8)
     else:                      # pragma: no cover
-        out = im
+        out = im.astype(np.uint8)
     return out, scale
 
 
@@ -83,12 +87,18 @@ def prepare_image(im_bgr: np.ndarray, target_size: int, max_size: int,
                   pixel_means, buckets, flip: bool = False,
                   boxes: np.ndarray | None = None):
     """Full path: (resize, optional flip, mean-sub, bucket-pad).
-    Returns (image [bH,bW,3], im_info [3], boxes scaled (and flipped))."""
+    Returns (image [bH,bW,3], im_info [3], boxes scaled (and flipped)).
+
+    ``pixel_means=None`` keeps the image uint8 (no mean-sub): the H2D-lean
+    eval layout — 4x fewer bytes over the host<->device link, with the exact
+    mean-sub + pad-zeroing done on device (core/predictor._image_from_u8).
+    """
     if flip:
         im_bgr = im_bgr[:, ::-1, :]
     im, scale = resize_im(im_bgr, target_size, max_size)
     h, w = im.shape[:2]
-    im = transform(im, pixel_means)
+    if pixel_means is not None:
+        im = transform(im, pixel_means)
     bucket = pick_bucket(h, w, buckets)
     im = pad_to_bucket(im, bucket)
     im_info = np.asarray([h, w, scale], np.float32)

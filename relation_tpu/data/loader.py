@@ -167,8 +167,16 @@ class TestLoader:
     def _load_one(self, entry):
         im = self.image_loader(entry["image"])
         target, max_size = self.cfg.SCALES[0]
-        img, im_info, _ = prepare_image(im, target, max_size,
-                                        self.cfg.network.PIXEL_MEANS, self.buckets)
+        # H2D_UINT8: ship post-resize uint8 pixels (4x fewer bytes over the
+        # host<->device link — the per-image transfer serializes the device
+        # stream through this environment's tunnel, measured 7.4 -> 15.3
+        # img/s) and do the exact mean-sub + pad-zeroing on device
+        # (core/predictor._image_from_u8; uint8->f32 is exact, detections
+        # are bit-identical to the host-f32 path)
+        u8 = bool(self.cfg.TPU.get("H2D_UINT8", True))
+        img, im_info, _ = prepare_image(
+            im, target, max_size,
+            None if u8 else self.cfg.network.PIXEL_MEANS, self.buckets)
         if bool(self.cfg.TPU.get("S2D_INPUT", True)):
             # host-side planar relayout inside the worker (device-side
             # strided-slice s2d measured 10x worse; see data/image.py)

@@ -152,6 +152,33 @@ def test_train_loader_batches(coco_json, rng):
     assert img.ndim == 3 and info.shape == (3,)
 
 
+def test_u8_h2d_path_bit_exact(rng):
+    """TPU.H2D_UINT8: shipping post-resize uint8 + device-side mean-sub/pad-
+    zeroing (core/predictor._image_from_u8) must be bit-identical to the
+    host-side f32 path, in both the s2d planar and NHWC layouts."""
+    import jax.numpy as jnp
+    from relation_tpu.data.image import prepare_image, to_s2d_planar
+    from relation_tpu.core.predictor import _image_from_u8
+
+    im = rng.randint(0, 255, (113, 157, 3)).astype(np.float32)
+    means = (103.06, 115.90, 123.15)
+    buckets = [(64, 96), (96, 128)]
+    f32_img, info, _ = prepare_image(im, 60, 100, means, buckets)
+    u8_img, info_u8, _ = prepare_image(im, 60, 100, None, buckets)
+    assert u8_img.dtype == np.uint8 and np.allclose(info, info_u8)
+
+    # NHWC layout
+    got = np.asarray(_image_from_u8(jnp.asarray(u8_img), jnp.asarray(info), means))
+    np.testing.assert_array_equal(got, f32_img)
+    # s2d planar layout
+    got_p = np.asarray(_image_from_u8(jnp.asarray(to_s2d_planar(u8_img)),
+                                      jnp.asarray(info), means))
+    np.testing.assert_array_equal(got_p, to_s2d_planar(f32_img))
+    # f32 input passes through untouched
+    ident = _image_from_u8(jnp.asarray(f32_img), jnp.asarray(info), means)
+    np.testing.assert_array_equal(np.asarray(ident), f32_img)
+
+
 def test_batch_image_hw_both_layouts():
     """feat-grid derivation must see through the s2d planar loader layout
     (regression: the train driver read shape[1]//16 == 0 for planar batches)."""

@@ -66,6 +66,7 @@ def main():
         "resnet_v1_101_coco_trainvalminus_rcnn_end2end_relation_learn_nms_"
         "8epoch.yaml"))
     cfg.dataset.test_image_set = "bench"
+    cfg.TPU.EVAL_LOG_EVERY = 32          # per-stage telemetry on short runs
 
     rng = np.random.default_rng(0)
     with tempfile.TemporaryDirectory(prefix="bench_eval_") as root:
@@ -81,13 +82,17 @@ def main():
             jax.random.PRNGKey(0), jnp.zeros((608, 1024, 3)), rois0,
             jnp.asarray([608.0, 1024.0, 1.0]), n0)["params"]
 
-        # warmup: one image end to end (compile)
+        # warmup: one image end to end; share the compiled-fn cache with the
+        # timed run (pred_eval compiles once per image bucket per dict)
+        fns: dict = {}
         loader_w = TestLoader(roidb[:1], cfg, num_workers=args.workers)
-        pred_eval(model, params, cfg, dataset, roidb[:1], loader=loader_w)
+        pred_eval(model, params, cfg, dataset, roidb[:1], loader=loader_w,
+                  predict_fns=fns)
 
         loader = TestLoader(roidb, cfg, num_workers=args.workers)
         t0 = time.perf_counter()
-        pred_eval(model, params, cfg, dataset, roidb, loader=loader)
+        pred_eval(model, params, cfg, dataset, roidb, loader=loader,
+                  predict_fns=fns)
         dt = time.perf_counter() - t0
         print(json.dumps({
             "metric": "eval_throughput_from_files", "value": args.n / dt,

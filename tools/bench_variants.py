@@ -91,7 +91,10 @@ def main():
          "resnet_v1_101_rcnn_fpn_attention_1024_pairwise_position_multi_head_16_learn_nms",
          True, 0.232),
     ]
+    want = [a for a in sys.argv[1:] if not a.startswith("-")]
     for label, symbol, ln, ref_s in variants:
+        if want and not any(w in label for w in want):
+            continue
         try:
             fn, params, image, im_info = build(symbol, ln)
             img = jnp.asarray(rng.randn(*image.shape).astype(np.float32) * 40)
