@@ -92,8 +92,10 @@ def main():
             print(f"checkpoint meta: roi_method={meta['roi_method']} "
                   f"(source={meta.get('source', '?')})")
             if meta["roi_method"] == "pool":
-                # full parity mode: exact pre-NMS top-k for FPN proposals too
+                # full parity mode: exact pre-NMS top-k for FPN proposals and
+                # f32 geometric-bias sinusoid (XLA dense attention path) too
                 cfg.TPU.FPN_TOPK = "exact"
+                cfg.TPU.GEOM_EMB_DTYPE = "float32"
 
     cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
     logger, out_path = create_logger(cfg.output_path or "output", cfg_name,

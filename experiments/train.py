@@ -59,6 +59,16 @@ def main():
     logger, out_path = create_logger(cfg.output_path or "output", cfg_name,
                                      cfg.dataset.image_set)
     logger.info(f"config: {args.cfg}")
+    # reference train_end2end.py:64,74-75: source/config snapshot into the run
+    # dir + full config into the log (the YAML is our symbol-source analogue —
+    # the model is chosen by cfg.symbol from the registry, not an eval'd file)
+    import pprint
+    import shutil
+    try:
+        shutil.copy2(args.cfg, out_path)
+    except (OSError, shutil.SameFileError):
+        pass
+    logger.info("training config:\n" + pprint.pformat(cfg))
 
     np.random.seed(0)
     model = build_model(cfg, tiny=args.tiny)

@@ -177,6 +177,16 @@ def default_config() -> AttrDict:
     # (core/predictor._image_from_u8). uint8->f32 is exact so detections are
     # bit-identical to the host-side f32 path.
     TPU.H2D_UINT8 = True
+    # Sinusoid dtype for the XLA geometric-bias path ("bfloat16" | "float32").
+    # Only the XLA-only dense attention (FPN learned-NMS tail, where the fused
+    # Pallas bias kernel is s2b-poison) materializes the [C, 64, N, N]
+    # embedding; bf16 halves that HBM-bound intermediate. sin/cos lie in
+    # [-1, 1] so the cast costs < 0.4% relative pre-log (measured score-delta
+    # bound in tests/test_models.py); parity eval of converted reference
+    # weights flips this to "float32" (experiments/test.py __meta__ handling,
+    # same policy as ROI_METHOD / FPN_TOPK). The C4 fast path is unaffected
+    # (fused f32-accurate kernel).
+    TPU.GEOM_EMB_DTYPE = "bfloat16"
     # Eval loop: in-flight device-result window (async D2H pipelining) and
     # per-stage telemetry cadence (images between data/net/fetch/post logs).
     TPU.EVAL_PIPELINE_DEPTH = 8

@@ -135,6 +135,17 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
                       sort_keys=True)
         log(f"wrote results json: {res_file}")
 
+    # reference tester.py:305-307: valid class ratio (avg classes detected per
+    # image) + valid score ratio (kept detections / fixed-size output slots)
+    if dets_per_image:
+        n_img = len(dets_per_image)
+        n_cls = sum(len(np.unique(d[:, 0])) for d in dets_per_image.values()
+                    if len(d))
+        n_det = sum(len(d) for d in dets_per_image.values())
+        max_det = int(cfg.TEST.max_per_image)
+        log(f"valid class ratio:{n_cls / n_img:.4f}")
+        log(f"valid score ratio:{n_det / (max_det * n_img + 0.01):.4f}")
+
     evaluator = CocoEvaluator(dataset)
     for image_id, dets in dets_per_image.items():
         evaluator.add_detections(image_id, dets)

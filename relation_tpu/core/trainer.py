@@ -79,6 +79,9 @@ def build_model(cfg, tiny: bool = False):
         head_dtype=(jnp.float32 if tiny or
                     str(cfg.TPU.get("HEAD_DTYPE", "bfloat16")) != "bfloat16"
                     else jnp.bfloat16),
+        geom_emb_dtype=(jnp.bfloat16 if not tiny and
+                        str(cfg.TPU.get("GEOM_EMB_DTYPE", "bfloat16"))
+                        == "bfloat16" else None),
     )
     if "fpn" in cfg.symbol:
         from relation_tpu.models.fpn import RelationRCNNFPN

@@ -61,6 +61,9 @@ class RelationRCNN(nn.Module):
     # compute dtype for the ROI-head FCs and relation attention matmuls
     # (softmax and the cls/bbox output layers always run f32)
     head_dtype: Any = jnp.float32
+    # sinusoid dtype for the XLA geometric-bias path (unused on the C4 fast
+    # path, which runs the fused Pallas bias kernel — see models/relation.py)
+    geom_emb_dtype: Any = None
     # tiny-model knobs for tests
     backbone: str = "resnet101"         # "resnet101" | "tiny"
     head_dim: int = 1024
@@ -97,10 +100,12 @@ class RelationRCNN(nn.Module):
         if self.use_relation:
             self.relation_1 = RelationModule(index=1, dim_qk=self.head_dim,
                                              dim_out=self.head_dim,
-                                             dtype=self.head_dtype)
+                                             dtype=self.head_dtype,
+                                             geom_emb_dtype=self.geom_emb_dtype)
             self.relation_2 = RelationModule(index=2, dim_qk=self.head_dim,
                                              dim_out=self.head_dim,
-                                             dtype=self.head_dtype)
+                                             dtype=self.head_dtype,
+                                             geom_emb_dtype=self.geom_emb_dtype)
         self.cls_score = nn.Dense(self.num_classes, name="cls_score",
                                   kernel_init=_norm_init)
         num_reg = 2 if self.class_agnostic else self.num_classes
@@ -111,7 +116,8 @@ class RelationRCNN(nn.Module):
                 num_fg_classes=self.num_classes - 1, first_n=self.first_n,
                 num_thresh=self.num_thresh, class_agnostic=self.class_agnostic,
                 bbox_means=self.bbox_means, bbox_stds=self.bbox_stds,
-                attn_dtype=self.head_dtype)
+                attn_dtype=self.head_dtype,
+                geom_emb_dtype=self.geom_emb_dtype)
 
     def features_and_rpn(self, image, res4_folded=None):
         """image [H, W, 3] (mean-subtracted BGR, fixed bucket) ->

@@ -119,6 +119,9 @@ class RelationRCNNFPN(nn.Module):
     head_dim: int = 1024
     # compute dtype for the ROI-head FCs and relation attention (see detector.py)
     head_dtype: Any = jnp.float32
+    # sinusoid dtype for the XLA geometric-bias path — the FPN learned-NMS
+    # tail is HBM-bound on the f32 [C, 64, N, N] sinusoid (see geom_bias)
+    geom_emb_dtype: Any = None
     # False: all head attention pure-XLA. Historical default — a Pallas call
     # consuming conv-derived tensors was measured to forfeit the pyramid's
     # stride-4/8 space-to-batch conv rewrites (round-1 note: +5.6 ms). Kept as
@@ -146,11 +149,13 @@ class RelationRCNNFPN(nn.Module):
             self.relation_1 = RelationModule(index=1, dim_qk=self.head_dim,
                                              dim_out=self.head_dim,
                                              dtype=self.head_dtype,
-                                             allow_pallas=self.allow_pallas)
+                                             allow_pallas=self.allow_pallas,
+                                             geom_emb_dtype=self.geom_emb_dtype)
             self.relation_2 = RelationModule(index=2, dim_qk=self.head_dim,
                                              dim_out=self.head_dim,
                                              dtype=self.head_dtype,
-                                             allow_pallas=self.allow_pallas)
+                                             allow_pallas=self.allow_pallas,
+                                             geom_emb_dtype=self.geom_emb_dtype)
         self.cls_score = nn.Dense(self.num_classes, name="cls_score",
                                   kernel_init=_norm_init)
         num_reg = 2 if self.class_agnostic else self.num_classes
@@ -161,7 +166,8 @@ class RelationRCNNFPN(nn.Module):
                 num_fg_classes=self.num_classes - 1, first_n=self.first_n,
                 num_thresh=self.num_thresh, class_agnostic=self.class_agnostic,
                 bbox_means=self.bbox_means, bbox_stds=self.bbox_stds,
-                attn_dtype=self.head_dtype, allow_pallas=self.allow_pallas)
+                attn_dtype=self.head_dtype, allow_pallas=self.allow_pallas,
+                geom_emb_dtype=self.geom_emb_dtype)
 
     def features_and_rpn(self, image):
         """image [H, W, 3] -> ({stride: feat}, {stride: (rpn_cls, rpn_bbox)}).

@@ -67,9 +67,15 @@ def learn_nms_losses(nms_multi_score: jnp.ndarray, nms_multi_target: jnp.ndarray
     """Binary CE split into pos/neg terms (reference :539-551). Shapes [F, C, T]."""
     first_n, _, num_thresh = nms_multi_score.shape
     normalizer = first_n * num_thresh
-    # clamp: under XLA fusion, softmax*sigmoid can round to 1 + ulp (1.2e-7),
-    # which exceeds the reference's 1e-8 eps and drives log(1 - s + eps) to NaN
-    s = jnp.clip(nms_multi_score, 0.0, 1.0)
+    # clamp STRICTLY below 1: softmax*sigmoid saturates to exactly 1.0f, and
+    # XLA's algebraic simplifier reassociates (1 - s) + eps into (1 + eps) - s
+    # where 1 + 1e-8 constant-folds back to 1.0f — log(0) = -inf, and entries
+    # with target==1 then hit 0 * -inf = NaN (observed at overfit step ~394,
+    # jit-only; the eager left-to-right evaluation is finite). A 1e-7 ceiling
+    # keeps 1 - s >= 1e-7 under ANY association; the saturated-entry loss
+    # shifts log(1e-8) -> log(1.1e-7) (−18.4 -> −16.0), irrelevant to training
+    # and unreachable for calibrated scores.
+    s = jnp.clip(nms_multi_score, 0.0, 1.0 - 1e-7)
     pos = -nms_multi_target * jnp.log(s + eps)
     neg = -(1.0 - nms_multi_target) * jnp.log(1.0 - s + eps)
     pos_loss = nms_loss_scale * jnp.sum(pos) / normalizer

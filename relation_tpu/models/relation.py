@@ -44,6 +44,7 @@ class GeomBiasDense(nn.Module):
     """
     features: int
     fused: bool = True
+    emb_dtype: Any = None        # XLA path only: sinusoid dtype (see geom_bias)
 
     @nn.compact
     def __call__(self, pos_t: jnp.ndarray) -> jnp.ndarray:
@@ -52,7 +53,7 @@ class GeomBiasDense(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         if self.fused:
             return fused_geometric_bias(pos_t, k, b)
-        return geom_bias_reference(pos_t, k, b)
+        return geom_bias_reference(pos_t, k, b, emb_dtype=self.emb_dtype)
 
 
 class RelationModule(nn.Module):
@@ -70,6 +71,7 @@ class RelationModule(nn.Module):
     # are space-to-batch eligible (FPN stride-4/8 levels): any pallas call
     # consuming conv-derived tensors forfeits their s2b rewrites (CLAUDE.md).
     allow_pallas: bool = True
+    geom_emb_dtype: Any = None   # XLA path: sinusoid dtype (None = f32)
 
     @nn.compact
     def __call__(self, roi_feat: jnp.ndarray, position_mat_t: jnp.ndarray):
@@ -82,6 +84,7 @@ class RelationModule(nn.Module):
 
         # geometric bias: [4, N, K] -> [1, g, N, K] -> [N, g, K]
         bias = GeomBiasDense(self.groups, fused=self.allow_pallas,
+                             emb_dtype=self.geom_emb_dtype,
                              name=f"pair_pos_fc1_{self.index}")(
             position_mat_t[None])[0]
         bias = jnp.transpose(bias, (1, 0, 2))    # [N, g, K]
@@ -131,6 +134,7 @@ class NMSRelationModule(nn.Module):
                                 # measured slightly slower at N=100 (lane padding
                                 # blocks the MXU bias contraction) — off by default
     allow_pallas: bool = True   # False = pure-XLA dense path (see RelationModule)
+    geom_emb_dtype: Any = None  # XLA dense path: sinusoid dtype (None = f32)
 
     @nn.compact
     def __call__(self, roi_feat: jnp.ndarray, position_mat_t: jnp.ndarray,
@@ -163,7 +167,8 @@ class NMSRelationModule(nn.Module):
             # (the class filter is only a compute saver; masked classes are
             # zeroed by the learn-NMS head regardless)
             y = _dense_attention_impl(position_mat_t, q, k, feat, wg, bg, wl,
-                                      c, n, g, dqk, fused_bias=False)
+                                      c, n, g, dqk, fused_bias=False,
+                                      emb_dtype=self.geom_emb_dtype)
         elif active is not None:
             # runtime choice by active-class count (measured on v5e, C=80,
             # N=100): the single fused kernel with per-class skip costs
@@ -206,16 +211,19 @@ class NMSRelationModule(nn.Module):
 
 
 def _dense_attention_impl(position_mat_t, q, k, feat, wg, bg, wl, c, n, g, dqk,
-                          fused_bias=True):
+                          fused_bias=True, emb_dtype=None):
     """The dense path is HBM-bound on the [C, g, N, N] intermediates (~430 MB
     f32 round trips at C=79, N=100); the matmuls ride q.dtype (bf16 on the TPU
     fast path) to halve that traffic, while the geometric bias and the softmax
-    stay f32."""
+    stay f32. ``emb_dtype`` (XLA bias path only) additionally shrinks the
+    [C, 64, N, N] sinusoid intermediate — see geom_bias_reference."""
     from relation_tpu.ops.pallas.geom_bias import (fused_geometric_bias,
                                                    geom_bias_reference)
     dt = q.dtype
-    gb = fused_geometric_bias if fused_bias else geom_bias_reference
-    bias = gb(position_mat_t, wg, bg)                            # [C, g, N, N]
+    if fused_bias:
+        bias = fused_geometric_bias(position_mat_t, wg, bg)      # [C, g, N, N]
+    else:
+        bias = geom_bias_reference(position_mat_t, wg, bg, emb_dtype=emb_dtype)
     qg = q.reshape(c, n, g, dqk)
     kg = k.reshape(c, n, g, dqk)
     aff = jnp.einsum("cigd,cjgd->cgij", qg, kg) / jnp.sqrt(float(dqk))

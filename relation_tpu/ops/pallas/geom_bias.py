@@ -119,15 +119,30 @@ def _geom_bias_fwd_impl(pos_t: jnp.ndarray, kernel: jnp.ndarray,
 
 
 def geom_bias_reference(pos_t: jnp.ndarray, kernel: jnp.ndarray,
-                        bias: jnp.ndarray, scale: float = 100.0) -> jnp.ndarray:
-    """jnp reference (reference-formula path): [C,4,N,M] -> [C,G,N,M]."""
+                        bias: jnp.ndarray, scale: float = 100.0,
+                        emb_dtype=None) -> jnp.ndarray:
+    """jnp reference (reference-formula path): [C,4,N,M] -> [C,G,N,M].
+
+    ``emb_dtype`` (e.g. bf16) casts the materialized [C, 64, N, M] sinusoid
+    before the 64->G contraction (accumulation stays f32) — the XLA-only dense
+    path (FPN learned-NMS tail, where the fused kernel is s2b-poison) is
+    HBM-bound on exactly this intermediate (~400 MB f32 round trip at C=79,
+    N=100). sin/cos are in [-1, 1] so the bf16 cast costs < 0.4% relative in
+    the pre-log activation; parity eval flips this back to f32
+    (experiments/test.py __meta__ handling, like ROI_METHOD / FPN_TOPK)."""
     freqs = jnp.asarray(_frequencies())
     div = pos_t[:, :, None, :, :] * scale * freqs[None, None, :, None, None]
     # feature layout per field: 8 sin then 8 cos -> [C, 4, 16, N, M] -> [C, 64, ...]
     emb = jnp.concatenate([jnp.sin(div), jnp.cos(div)], axis=2)
     C, _, _, N, M = emb.shape
     emb = emb.reshape(C, 64, N, M)
-    acc = jnp.einsum("cfnm,fg->cgnm", emb, kernel) + bias[None, :, None, None]
+    if emb_dtype is not None:
+        # plain same-dtype einsum (XLA CPU rejects BF16xBF16=F32 dots; the TPU
+        # MXU accumulates bf16 dots in f32 internally regardless)
+        emb = emb.astype(emb_dtype)
+        kernel = kernel.astype(emb_dtype)
+    acc = jnp.einsum("cfnm,fg->cgnm", emb, kernel).astype(jnp.float32) \
+        + bias[None, :, None, None]
     return jnp.log(jnp.maximum(acc, 1e-6))
 
 

@@ -278,3 +278,21 @@ def test_sample_rois_distinct_mode_no_duplicates(rng):
                       pad_mode="distinct")
     sel = np.asarray(out["rois"])
     assert len(np.unique(sel.round(3), axis=0)) == 14
+
+
+def test_learn_nms_losses_saturated_score_finite_under_jit():
+    """Regression: softmax*sigmoid saturates nms_multi_score to exactly 1.0f,
+    and under jit XLA reassociates (1 - s) + eps into (1 + eps) - s, where
+    1 + 1e-8 constant-folds to 1.0f -> log(0) = -inf -> 0 * -inf = NaN on
+    target==1 entries (eager evaluation was finite, making this jit-only).
+    The loss must clamp strictly below 1."""
+    import jax
+    import jax.numpy as jnp
+    from relation_tpu.models.losses import learn_nms_losses
+
+    s = jnp.ones((4, 3, 2), jnp.float32)                 # fully saturated
+    t = jnp.zeros((4, 3, 2), jnp.float32).at[0, 0, 0].set(1.0)
+    for f in (learn_nms_losses, jax.jit(learn_nms_losses)):
+        total, pos, neg = f(s, t, 1.0, 4.0)
+        assert np.isfinite(float(total)) and np.isfinite(float(neg)), (
+            float(total), float(pos), float(neg))
