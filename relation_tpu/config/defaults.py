@@ -187,6 +187,12 @@ def default_config() -> AttrDict:
     # same policy as ROI_METHOD / FPN_TOPK). The C4 fast path is unaffected
     # (fused f32-accurate kernel).
     TPU.GEOM_EMB_DTYPE = "bfloat16"
+    # XLA-only learned-NMS attention (FPN): when the inference class filter
+    # leaves at most this many active classes, gather them into a compact
+    # batch before the dense attention (the XLA analogue of the Pallas skip
+    # kernel; the reference shrinks its attention batch the same way,
+    # operator_py/learn_nms.py:296-309). 0 disables the compact path.
+    TPU.NMS_COMPACT_CLASSES = 32
     # Eval loop: in-flight device-result window (async D2H pipelining) and
     # per-stage telemetry cadence (images between data/net/fetch/post logs).
     TPU.EVAL_PIPELINE_DEPTH = 8

@@ -82,6 +82,7 @@ def build_model(cfg, tiny: bool = False):
         geom_emb_dtype=(jnp.bfloat16 if not tiny and
                         str(cfg.TPU.get("GEOM_EMB_DTYPE", "bfloat16"))
                         == "bfloat16" else None),
+        compact_classes=int(cfg.TPU.get("NMS_COMPACT_CLASSES", 32)),
     )
     if "fpn" in cfg.symbol:
         from relation_tpu.models.fpn import RelationRCNNFPN

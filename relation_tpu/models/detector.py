@@ -64,6 +64,9 @@ class RelationRCNN(nn.Module):
     # sinusoid dtype for the XLA geometric-bias path (unused on the C4 fast
     # path, which runs the fused Pallas bias kernel — see models/relation.py)
     geom_emb_dtype: Any = None
+    # XLA learned-NMS attention: active-class gather cap (models/relation.py;
+    # unused on the C4 fast path, which runs the Pallas skip kernel)
+    compact_classes: int = 32
     # tiny-model knobs for tests
     backbone: str = "resnet101"         # "resnet101" | "tiny"
     head_dim: int = 1024
@@ -117,7 +120,8 @@ class RelationRCNN(nn.Module):
                 num_thresh=self.num_thresh, class_agnostic=self.class_agnostic,
                 bbox_means=self.bbox_means, bbox_stds=self.bbox_stds,
                 attn_dtype=self.head_dtype,
-                geom_emb_dtype=self.geom_emb_dtype)
+                geom_emb_dtype=self.geom_emb_dtype,
+                compact_classes=self.compact_classes)
 
     def features_and_rpn(self, image, res4_folded=None):
         """image [H, W, 3] (mean-subtracted BGR, fixed bucket) ->

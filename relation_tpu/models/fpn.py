@@ -127,6 +127,8 @@ class RelationRCNNFPN(nn.Module):
     # stride-4/8 space-to-batch conv rewrites (round-1 note: +5.6 ms). Kept as
     # a switch for in-context A/B (tools/microbench_fpn.py).
     allow_pallas: bool = False
+    # XLA learned-NMS attention: active-class gather cap (cfg.TPU.NMS_COMPACT_CLASSES)
+    compact_classes: int = 32
 
     def setup(self):
         if self.backbone == "resnet101":
@@ -167,7 +169,8 @@ class RelationRCNNFPN(nn.Module):
                 num_thresh=self.num_thresh, class_agnostic=self.class_agnostic,
                 bbox_means=self.bbox_means, bbox_stds=self.bbox_stds,
                 attn_dtype=self.head_dtype, allow_pallas=self.allow_pallas,
-                geom_emb_dtype=self.geom_emb_dtype)
+                geom_emb_dtype=self.geom_emb_dtype,
+                compact_classes=self.compact_classes)
 
     def features_and_rpn(self, image):
         """image [H, W, 3] -> ({stride: feat}, {stride: (rpn_cls, rpn_bbox)}).

@@ -60,6 +60,7 @@ class LearnNMSHead(nn.Module):
     attn_dtype: Any = jnp.float32
     allow_pallas: bool = True   # False = pure-XLA attention (FPN; see relation.py)
     geom_emb_dtype: Any = None  # XLA dense path: sinusoid dtype (see geom_bias)
+    compact_classes: int = 32   # XLA path: active-class gather cap (relation.py)
 
     @nn.compact
     def __call__(self, cls_score, bbox_pred, rois, roi_feat, im_info,
@@ -125,7 +126,8 @@ class LearnNMSHead(nn.Module):
         attention, _ = NMSRelationModule(index=1, groups=16, dim_qk=1024,
                                          dim_out=128, dtype=self.attn_dtype,
                                          allow_pallas=self.allow_pallas,
-                                         geom_emb_dtype=self.geom_emb_dtype)(
+                                         geom_emb_dtype=self.geom_emb_dtype,
+                                         compact_classes=self.compact_classes)(
             nms_embedding_feat, nms_position_matrix_t,
             active=None if active_f is None else active_f.astype(jnp.int32))
         feat = nn.relu(nms_embedding_feat + attention)            # [F, C, 128]

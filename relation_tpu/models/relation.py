@@ -135,6 +135,12 @@ class NMSRelationModule(nn.Module):
                                 # blocks the MXU bias contraction) — off by default
     allow_pallas: bool = True   # False = pure-XLA dense path (see RelationModule)
     geom_emb_dtype: Any = None  # XLA dense path: sinusoid dtype (None = f32)
+    # XLA path only: when ``active`` says at most this many classes survive the
+    # inference class_thresh filter, gather them into a compact [m, ...] batch
+    # before the dense attention (the XLA analogue of the Pallas skip kernel —
+    # the reference shrinks its attention batch the same way,
+    # operator_py/learn_nms.py:296-309). 0 disables.
+    compact_classes: int = 32
 
     @nn.compact
     def __call__(self, roi_feat: jnp.ndarray, position_mat_t: jnp.ndarray,
@@ -163,12 +169,33 @@ class NMSRelationModule(nn.Module):
                         nn.initializers.zeros, (self.dim_out,))
 
         if not self.allow_pallas:
-            # XLA-only: dense over every class with the reference geom bias
-            # (the class filter is only a compute saver; masked classes are
-            # zeroed by the learn-NMS head regardless)
-            y = _dense_attention_impl(position_mat_t, q, k, feat, wg, bg, wl,
-                                      c, n, g, dqk, fused_bias=False,
-                                      emb_dtype=self.geom_emb_dtype)
+            # XLA-only (FPN: any pallas call here poisons the upstream s2b
+            # convs — CLAUDE.md). Dense over every class by default; with the
+            # inference class filter, gather the active classes into a compact
+            # [m, ...] batch first (attention is per-class independent, so the
+            # compacted rows are exactly the dense rows; skipped classes return
+            # zeros and the learn-NMS head masks them regardless).
+            def dense_path(_):
+                return _dense_attention_impl(position_mat_t, q, k, feat, wg,
+                                             bg, wl, c, n, g, dqk,
+                                             fused_bias=False,
+                                             emb_dtype=self.geom_emb_dtype)
+
+            m = self.compact_classes
+            if active is not None and 0 < m < c:
+                def compact_path(_):
+                    idx = jnp.argsort(-active)[:m]       # active-first, stable
+                    yc = _dense_attention_impl(
+                        position_mat_t[idx], q[idx], k[idx], feat[idx],
+                        wg, bg, wl, m, n, g, dqk, fused_bias=False,
+                        emb_dtype=self.geom_emb_dtype)
+                    return jnp.zeros((c, n, yc.shape[-1]), yc.dtype
+                                     ).at[idx].set(yc, unique_indices=True)
+
+                y = jax.lax.cond(jnp.sum(active) <= m, compact_path,
+                                 dense_path, None)
+            else:
+                y = dense_path(None)
         elif active is not None:
             # runtime choice by active-class count (measured on v5e, C=80,
             # N=100): the single fused kernel with per-class skip costs

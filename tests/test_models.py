@@ -185,6 +185,55 @@ def test_learn_nms_class_thresh_zeroes_inactive(rng):
     np.testing.assert_allclose(c1[:, active], c0[:, active], rtol=1e-6)
 
 
+def test_learn_nms_xla_compact_class_path(rng):
+    """XLA class-gather compact path (models/relation.py compact_classes, the
+    FPN analogue of the Pallas skip kernel; reference learn_nms.py:296-309):
+    with <= m active classes the attention runs on a gathered [m, ...] batch —
+    active classes' scores must match the dense XLA path exactly and inactive
+    classes stay zero. With > m active, the lax.cond falls back to dense."""
+    C, F, T, N = 6, 6, 3, 16
+    kw = dict(num_fg_classes=C, first_n=F, num_thresh=T, class_agnostic=True,
+              allow_pallas=False)
+    dense = LearnNMSHead(compact_classes=0, **kw)
+    compact = LearnNMSHead(compact_classes=3, **kw)
+    cls_score = jnp.asarray(rng.randn(N, C + 1).astype(np.float32) * 2)
+    bbox = jnp.asarray(rng.randn(N, 8).astype(np.float32) * 0.1)
+    rois = jnp.asarray(np.abs(rng.randn(N, 4)).astype(np.float32) * 50)
+    rois = rois.at[:, 2:].set(rois[:, 2:] + rois[:, :2] + 10)
+    feat = jnp.asarray(rng.randn(N, 32).astype(np.float32))
+    im_info = jnp.asarray([200.0, 300.0, 1.0])
+    params = dense.init(jax.random.PRNGKey(0), cls_score, bbox, rois, feat,
+                        im_info)["params"]
+
+    # pick a thresh that keeps <= 3 classes active
+    probe = dense.apply({"params": params}, cls_score, bbox, rois, feat,
+                        im_info)
+    mx = np.sort(np.asarray(probe["sorted_score"]).max(axis=0))[::-1]
+    thresh = float((mx[1] + mx[2]) / 2)          # exactly 2 active classes
+    args = (cls_score, bbox, rois, feat, im_info)
+    out_d = dense.apply({"params": params}, *args, class_thresh=thresh)
+    out_c = jax.jit(lambda p, *a: compact.apply({"params": p}, *a,
+                                                class_thresh=thresh))(
+        params, *args)
+    cd = np.asarray(out_d["nms_conditional_score"])
+    cc = np.asarray(out_c["nms_conditional_score"])
+    active = np.asarray(probe["sorted_score"]).max(axis=0) >= min(
+        thresh, mx[0])
+    assert active.sum() == 2
+    np.testing.assert_array_equal(cc[:, ~active], 0.0)
+    np.testing.assert_allclose(cc[:, active], cd[:, active], rtol=2e-5,
+                               atol=1e-7)
+
+    # > m active classes: falls back to dense (all classes above thresh)
+    out_f = jax.jit(lambda p, *a: compact.apply({"params": p}, *a,
+                                                class_thresh=1e-9))(
+        params, *args)
+    out_fd = dense.apply({"params": params}, *args, class_thresh=1e-9)
+    np.testing.assert_allclose(np.asarray(out_f["nms_conditional_score"]),
+                               np.asarray(out_fd["nms_conditional_score"]),
+                               rtol=2e-5, atol=1e-7)
+
+
 def test_geom_bias_bf16_emb_attention_bound(rng):
     """TPU.GEOM_EMB_DTYPE=bfloat16 (the FPN dense-path HBM saver): the log-bias
     may differ near the 1e-6 clamp (both sides mean "pair suppressed"), but the

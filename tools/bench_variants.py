@@ -46,7 +46,7 @@ def measure(fn, params, image, im_info, n=100, k=3):
     return best / n * 1e3
 
 
-def build(symbol, learn_nms=True, **model_overrides):
+def build(symbol, learn_nms=True, softnms=False, **model_overrides):
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_cfg
@@ -57,6 +57,7 @@ def build(symbol, learn_nms=True, **model_overrides):
     cfg.symbol = symbol
     cfg.TRAIN.LEARN_NMS = learn_nms
     cfg.TEST.LEARN_NMS = learn_nms
+    cfg.TEST.SOFTNMS = softnms
     if "fpn" in symbol:
         cfg.network.RPN_FEAT_STRIDE = 16      # flagship pyramid base
     model = build_model(cfg)
@@ -82,21 +83,25 @@ def main():
     import jax.numpy as jnp
     rng = np.random.RandomState(0)
     variants = [
-        # (label, symbol, learn_nms, reference seconds)
-        ("plain_2fc_nms", "resnet_v1_101_rcnn", False, 0.168),
+        # (label, symbol, learn_nms, softnms, reference seconds)
+        ("plain_2fc_nms", "resnet_v1_101_rcnn", False, False, 0.168),
+        ("plain_2fc_softnms", "resnet_v1_101_rcnn", False, True, 0.200),
+        ("relation_softnms",
+         "resnet_v1_101_rcnn_attention_1024_pairwise_position_multi_head_16",
+         False, True, 0.211),
         ("dcn_relation_learn_nms",
          "resnet_v1_101_rcnn_dcn_attention_1024_pairwise_position_multi_head_16_learn_nms",
-         True, 0.188),
+         True, False, 0.188),
         ("fpn_relation_learn_nms",
          "resnet_v1_101_rcnn_fpn_attention_1024_pairwise_position_multi_head_16_learn_nms",
-         True, 0.232),
+         True, False, 0.232),
     ]
     want = [a for a in sys.argv[1:] if not a.startswith("-")]
-    for label, symbol, ln, ref_s in variants:
+    for label, symbol, ln, sn, ref_s in variants:
         if want and not any(w in label for w in want):
             continue
         try:
-            fn, params, image, im_info = build(symbol, ln)
+            fn, params, image, im_info = build(symbol, ln, softnms=sn)
             img = jnp.asarray(rng.randn(*image.shape).astype(np.float32) * 40)
             ms = measure(fn, params, img, im_info)
             print(json.dumps({"variant": label, "value": round(ms, 3),
