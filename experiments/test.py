@@ -58,7 +58,7 @@ def main():
     import numpy as np
     from relation_tpu.config.defaults import load_config
     from relation_tpu.core.trainer import build_model
-    from relation_tpu.core.checkpoint import load_params
+    from relation_tpu.core.checkpoint import read_params_blob, params_from_blob
     from relation_tpu.core.evaluator import pred_eval
     from relation_tpu.data.coco import CocoDataset, filter_roidb
     from relation_tpu.utils.logging import create_logger
@@ -79,23 +79,28 @@ def main():
         cfg.TEST.NMS = args.nms
     if args.merge != -10:
         cfg.TEST.MERGE_METHOD = args.merge
+    ckpt_blob = None
+    if args.ckpt:
+        # ONE deserialization of a (possibly multi-GB) checkpoint: the blob is
+        # held and finished into the params template after the model exists
+        ckpt_blob, meta = read_params_blob(args.ckpt)
     if args.roi_method != "auto":
         cfg.TPU.ROI_METHOD = args.roi_method
-    elif args.ckpt:
+    elif args.ckpt and meta.get("roi_method"):
         # converted reference weights carry a __meta__ tag: evaluate them with
         # exact MXNet ROIPooling semantics (ops/roi_pool.py::roi_pool) — the
         # reference head is rounding max-pool (resnet_v1_101_rcnn_base.py:790)
-        from relation_tpu.core.checkpoint import read_checkpoint_meta
-        meta = read_checkpoint_meta(args.ckpt)
-        if meta.get("roi_method"):
-            cfg.TPU.ROI_METHOD = meta["roi_method"]
-            print(f"checkpoint meta: roi_method={meta['roi_method']} "
-                  f"(source={meta.get('source', '?')})")
-            if meta["roi_method"] == "pool":
-                # full parity mode: exact pre-NMS top-k for FPN proposals and
-                # f32 geometric-bias sinusoid (XLA dense attention path) too
-                cfg.TPU.FPN_TOPK = "exact"
-                cfg.TPU.GEOM_EMB_DTYPE = "float32"
+        cfg.TPU.ROI_METHOD = meta["roi_method"]
+        print(f"checkpoint meta: roi_method={meta['roi_method']} "
+              f"(source={meta.get('source', '?')})")
+        if meta["roi_method"] == "pool":
+            # full parity mode: exact pre-NMS top-k for FPN proposals, f32
+            # geometric-bias sinusoid, and the single dense attention path
+            # (the compact-gather lax.cond branch tiles its einsums over m
+            # classes instead of C — last-ulp differences per image)
+            cfg.TPU.FPN_TOPK = "exact"
+            cfg.TPU.GEOM_EMB_DTYPE = "float32"
+            cfg.TPU.NMS_COMPACT_CLASSES = 0
 
     cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
     logger, out_path = create_logger(cfg.output_path or "output", cfg_name,
@@ -116,7 +121,7 @@ def main():
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((bh, bw, 3)), rois0,
                         jnp.asarray([float(bh), float(bw), 1.0]), n0)["params"]
     if args.ckpt:
-        params = load_params(args.ckpt, params)
+        params = params_from_blob(ckpt_blob, params)
         logger.info(f"loaded params: {args.ckpt}")
 
     cache = os.path.join(out_path, "detections.pkl")

@@ -71,16 +71,25 @@ def save_params(path: str, params, meta: dict | None = None) -> str:
     return path
 
 
-def read_checkpoint_meta(path: str) -> dict:
-    """Return the ``__meta__`` dict of a params msgpack ({} if absent)."""
+def read_params_blob(path: str) -> tuple[dict | list, dict]:
+    """ONE msgpack restore of a checkpoint file -> ``(blob, meta)``.
+
+    ``blob`` is the raw restored tree with ``__meta__`` stripped; ``meta`` is
+    that dict ({} if absent). Callers that need the meta BEFORE the template
+    exists (experiments/test.py reads ``roi_method`` to configure the model it
+    then loads into) hold the blob and finish with :func:`params_from_blob` —
+    a multi-GB flagship checkpoint is deserialized exactly once.
+    """
     with open(path, "rb") as f:
         restored = serialization.msgpack_restore(f.read())
-    meta = restored.get("__meta__") if isinstance(restored, dict) else None
-    return dict(meta) if meta else {}
+    meta = {}
+    if isinstance(restored, dict):
+        meta = dict(restored.pop("__meta__", None) or {})
+    return restored, meta
 
 
-def load_params(path: str, template):
-    """Load a params tree into ``template``'s structure.
+def params_from_blob(blob, template):
+    """Finish a :func:`read_params_blob` load into ``template``'s structure.
 
     Accepts BOTH on-disk formats (the reference eval path accepts either the
     raw epoch params or the processed ``*_test`` checkpoint,
@@ -90,13 +99,20 @@ def load_params(path: str, template):
         its {step, params, opt_state, rng} key set; the params subtree is
         extracted)
     """
-    with open(path, "rb") as f:
-        restored = serialization.msgpack_restore(f.read())
-    if isinstance(restored, dict):
-        restored.pop("__meta__", None)
-        if {"step", "params", "opt_state", "rng"} <= set(restored):
-            restored = restored["params"]
-    return serialization.from_state_dict(template, restored)
+    if isinstance(blob, dict) and \
+            {"step", "params", "opt_state", "rng"} <= set(blob):
+        blob = blob["params"]
+    return serialization.from_state_dict(template, blob)
+
+
+def read_checkpoint_meta(path: str) -> dict:
+    """Return the ``__meta__`` dict of a params msgpack ({} if absent)."""
+    return read_params_blob(path)[1]
+
+
+def load_params(path: str, template):
+    """One-call convenience: :func:`read_params_blob` + :func:`params_from_blob`."""
+    return params_from_blob(read_params_blob(path)[0], template)
 
 
 def check_parameter_shapes(loaded, template) -> None:

@@ -173,8 +173,11 @@ class NMSRelationModule(nn.Module):
             # convs — CLAUDE.md). Dense over every class by default; with the
             # inference class filter, gather the active classes into a compact
             # [m, ...] batch first (attention is per-class independent, so the
-            # compacted rows are exactly the dense rows; skipped classes return
-            # zeros and the learn-NMS head masks them regardless).
+            # compacted rows are exactly the dense rows). Skipped classes
+            # return unmasked garbage: zeros pre-bias (+bl after the scatter),
+            # and up to m - sum(active) inactive classes picked by the argsort
+            # pad compute full attention values — the learn-NMS head's where()
+            # mask (see the docstring above) is the load-bearing guard.
             def dense_path(_):
                 return _dense_attention_impl(position_mat_t, q, k, feat, wg,
                                              bg, wl, c, n, g, dqk,

@@ -1,6 +1,5 @@
 from relation_tpu.ops.boxes import (bbox_transform, bbox_pred, clip_boxes,
-                                    bbox_overlaps, pairwise_iou,
-                                    filter_boxes_mask, refine_bbox)
+                                    bbox_overlaps, pairwise_iou, refine_bbox)
 from relation_tpu.ops.anchors import generate_anchors, shift_anchors
 from relation_tpu.ops.nms import (greedy_nms_mask, greedy_nms_topk, soft_nms,
                                   classwise_nms)

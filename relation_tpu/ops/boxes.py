@@ -4,7 +4,11 @@ These mirror the semantics (including the legacy ``+1`` width/height convention)
 the reference's framework-free numeric layer:
   - bbox_transform / bbox_pred / clip_boxes   (reference: lib/bbox/bbox_transform.py:74-186)
   - bbox_overlaps IoU matrix                  (reference: lib/bbox/bbox.pyx:15-55)
-  - filter_boxes min-size mask                (reference: lib/bbox/bbox_transform.py:62-72)
+
+(The reference's index-returning ``filter_boxes`` min-size filter,
+lib/bbox/bbox_transform.py:62-72, lives as a score mask inside the proposal
+decoders — models/rpn.py / models/fpn.py — because planar coordinates never
+materialize an [N, 4] box array there.)
 
 All functions are pure jax.numpy over fixed shapes (no data-dependent shapes), so they
 compile once under jit and vmap/shard cleanly. Invalid/padded boxes are handled by
@@ -90,17 +94,6 @@ def clip_boxes(boxes: jnp.ndarray, im_hw) -> jnp.ndarray:
     x2 = jnp.clip(b[..., 2], 0, w - 1)
     y2 = jnp.clip(b[..., 3], 0, h - 1)
     return jnp.stack([x1, y1, x2, y2], axis=-1).reshape(shape)
-
-
-def filter_boxes_mask(boxes: jnp.ndarray, min_size) -> jnp.ndarray:
-    """Boolean mask of boxes with both sides >= min_size.
-
-    Static-shape replacement for the reference's index-returning ``filter_boxes``
-    (lib/bbox/bbox_transform.py:62-72): downstream consumers mask scores instead of
-    gathering a dynamic subset.
-    """
-    w, hgt = box_wh(boxes)
-    return (w >= min_size) & (hgt >= min_size)
 
 
 def bbox_overlaps(boxes: jnp.ndarray, query_boxes: jnp.ndarray) -> jnp.ndarray:

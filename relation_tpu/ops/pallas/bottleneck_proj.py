@@ -107,7 +107,7 @@ def fused_proj_bottleneck(x, w1, b1p, wa, b1, w3, b2, wc, b3, *, stride=1,
     out = pl.pallas_call(
         kernel,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [vm()] * 8,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [vm()] * 8,
         out_specs=pl.BlockSpec((R, Cout), lambda b: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, Cout), x.dtype),

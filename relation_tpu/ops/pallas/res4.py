@@ -165,14 +165,14 @@ def _fused_bottleneck_stack_impl(x, wa, b1, w3, b2, wc, b3,
             # block's weights itself (double-buffered). BlockSpec-VMEM weights
             # would let XLA pin the whole ~46 MB stack in VMEM for the life of
             # the program (S(1) operands), starving neighbouring convs.
-            pl.BlockSpec(memory_space=pltpu.ANY),            # x
-            pl.BlockSpec(memory_space=pltpu.ANY),            # wa [B, C, Cmid]
+            pl.BlockSpec(memory_space=pl.ANY),            # x
+            pl.BlockSpec(memory_space=pl.ANY),            # wa [B, C, Cmid]
             pl.BlockSpec((1, 1, Cmid), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),            # w3 [B, 9*Cmid, Cmid]
+            pl.BlockSpec(memory_space=pl.ANY),            # w3 [B, 9*Cmid, Cmid]
             pl.BlockSpec((1, 1, Cmid), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),            # wc [B, Cmid, C]
+            pl.BlockSpec(memory_space=pl.ANY),            # wc [B, Cmid, C]
             pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
