@@ -301,8 +301,12 @@ def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int,
     bbox_stds = tuple(bbox_stds if bbox_stds is not None
                       else cfg.TRAIN.BBOX_STDS)
 
+    pixel_means = tuple(float(m) for m in cfg.network.PIXEL_MEANS)
+
     def per_image(params, image, im_info, rois, rois_valid, gt_boxes, gt_valid,
                   rng):
+        from relation_tpu.core.predictor import _image_from_u8
+        image = _image_from_u8(image, im_info, pixel_means)
         if is_fpn:
             feat, _ = model.apply({"params": params}, image,
                                   method=RelationRCNNFPN.features_and_rpn)
@@ -394,7 +398,11 @@ def make_train_step_rpn(model, cfg, max_gt: int):
     base_anchors = generate_anchors(stride, tuple(cfg.network.ANCHOR_RATIOS),
                                     tuple(cfg.network.ANCHOR_SCALES))
 
+    pixel_means = tuple(float(m) for m in cfg.network.PIXEL_MEANS)
+
     def per_image(params, image, im_info, gt_boxes, gt_valid, rng):
+        from relation_tpu.core.predictor import _image_from_u8
+        image = _image_from_u8(image, im_info, pixel_means)
         if is_fpn:
             _, rpn_out = model.apply({"params": params}, image,
                                      method=RelationRCNNFPN.features_and_rpn)

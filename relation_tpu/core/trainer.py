@@ -135,10 +135,16 @@ def make_optimizer(cfg, epoch_size: int, mask) -> optax.GradientTransformation:
     return tx
 
 
-def make_train_step(model: RelationRCNN, cfg) -> Callable:
+def make_train_step(model: RelationRCNN, cfg, stop_after: str = "") -> Callable:
     """Build the per-batch train step; feature-grid shapes are static per
     compilation from the traced batch (one compiled program per image bucket,
-    the MutableModule-rebinding analogue — see experiments/train.py)."""
+    the MutableModule-rebinding analogue — see experiments/train.py).
+
+    ``stop_after`` is a benchmarking cut (tools/microbench_train_cuts.py): stop
+    the per-image graph after the named stage ('rpn', 'anchor_targets',
+    'proposals', 'sample', 'head') and train on the partial loss — the
+    cumulative-cut methodology that found the FPN inference budget. '' = full.
+    """
     stride = int(cfg.network.RPN_FEAT_STRIDE)
     base_anchors = generate_anchors(stride, tuple(cfg.network.ANCHOR_RATIOS),
                                     tuple(cfg.network.ANCHOR_SCALES))
@@ -159,7 +165,13 @@ def make_train_step(model: RelationRCNN, cfg) -> Callable:
                                          generate_proposals_fpn, FPN_STRIDES)
     is_fpn = isinstance(model, RelationRCNNFPN)
 
+    pixel_means = tuple(float(m) for m in cfg.network.PIXEL_MEANS)
+
     def per_image(params, image, im_info, gt_boxes, gt_valid, rng):
+        # uint8 loader batches (TPU.H2D_UINT8): exact on-device mean-sub +
+        # pad-zeroing; no-op for f32 inputs (dtype is static under jit)
+        from relation_tpu.core.predictor import _image_from_u8
+        image = _image_from_u8(image, im_info, pixel_means)
         r_anchor, r_sample = jax.random.split(rng)
         if is_fpn:
             pyramid, rpn_out = model.apply(
@@ -186,6 +198,12 @@ def make_train_step(model: RelationRCNN, cfg) -> Callable:
             fh, fw = rpn_cls.shape[0], rpn_cls.shape[1]
             anchors = shift_anchors(base_anchors, fh, fw, stride)
 
+        if stop_after == "rpn":
+            # grads still flow through the whole backbone+RPN
+            tot = (jnp.mean(jnp.square(rpn_cls.astype(jnp.float32))) +
+                   jnp.mean(jnp.square(rpn_bbox.astype(jnp.float32))))
+            return tot, {"total_loss": tot}
+
         label, btgt, bwt = anchor_targets(
             anchors, gt_boxes, gt_valid, im_info, r_anchor,
             rpn_batch_size=int(cfg.TRAIN.RPN_BATCH_SIZE),
@@ -199,6 +217,10 @@ def make_train_step(model: RelationRCNN, cfg) -> Callable:
         rpn_cls_loss, rpn_bbox_loss = rpn_losses(
             rpn_cls_flat, rpn_bbox_flat, label, btgt, bwt,
             int(cfg.TRAIN.RPN_BATCH_SIZE), sigma=float(cfg.TRAIN.rpn_loss_scale))
+
+        if stop_after == "anchor_targets":
+            tot = rpn_cls_loss + rpn_bbox_loss
+            return tot, {"total_loss": tot}
 
         if is_fpn:
             rois, _, _ = generate_proposals_fpn(
@@ -217,6 +239,12 @@ def make_train_step(model: RelationRCNN, cfg) -> Callable:
                 int(cfg.TRAIN.RPN_PRE_NMS_TOP_N), int(cfg.TRAIN.RPN_POST_NMS_TOP_N),
                 float(cfg.TRAIN.RPN_NMS_THRESH), float(cfg.TRAIN.RPN_MIN_SIZE))
 
+        if stop_after == "proposals":
+            # rois are stop-gradient by design; the 1e-30 term keeps the
+            # proposal computation live in the forward pass
+            tot = rpn_cls_loss + rpn_bbox_loss + 1e-30 * jnp.sum(rois)
+            return tot, {"total_loss": tot}
+
         tgt = sample_rois(
             rois, jnp.ones(rois.shape[0], bool), gt_boxes, gt_valid, r_sample,
             batch_rois=batch_rois, num_reg_classes=num_reg,
@@ -228,6 +256,12 @@ def make_train_step(model: RelationRCNN, cfg) -> Callable:
             bbox_means=tuple(cfg.TRAIN.BBOX_MEANS),
             bbox_stds=tuple(cfg.TRAIN.BBOX_STDS),
             bbox_weights=tuple(np.asarray(cfg.TRAIN.BBOX_WEIGHTS).tolist()))
+
+        if stop_after == "sample":
+            tot = (rpn_cls_loss + rpn_bbox_loss +
+                   1e-30 * (jnp.sum(tgt["rois"]) + jnp.sum(tgt["bbox_target"]) +
+                            jnp.sum(tgt["label"].astype(jnp.float32))))
+            return tot, {"total_loss": tot}
 
         cls_score, bbox_pred, fc2 = model.apply(
             {"params": params}, feat, tgt["rois"], nongt_dim,
@@ -250,7 +284,7 @@ def make_train_step(model: RelationRCNN, cfg) -> Callable:
             "rcnn_acc": accuracy_ignore(cls_score, rlabel),
         }
 
-        if learn_nms:
+        if learn_nms and stop_after != "head":
             ln = model.apply(
                 {"params": params}, cls_score[:nongt_dim], bbox_pred[:nongt_dim],
                 tgt["rois"][:nongt_dim], fc2[:nongt_dim], im_info,

@@ -15,8 +15,6 @@ TPU-native differences:
 
 from __future__ import annotations
 
-import queue
-import threading
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 
@@ -27,10 +25,21 @@ from relation_tpu.data.image import load_image_bgr, prepare_image
 
 class TrainLoader:
     """Yields dict(image [B,H,W,3], im_info [B,3], gt_boxes [B,G,5],
-    gt_valid [B,G]) batches, one bucket per batch."""
+    gt_valid [B,G]) batches, one bucket per batch.
+
+    Decode/resize/flip/s2d run per image in a ``num_workers``-thread pool with
+    a bounded in-order in-flight window — the training-side equivalent of the
+    reference's PrefetchingIterV2 4 decode threads
+    (lib/utils/PrefetchingIter.py:19-150 feeding AnchorLoader,
+    core/loader.py:561-588); batch stacking happens on the consumer side.
+    With TPU.H2D_UINT8 (default) images stay uint8 end to end on the host —
+    4x fewer bytes over the host<->device link — and the train step finishes
+    the exact mean-sub + pad-zeroing on device (core/predictor._image_from_u8,
+    bit-identical; same policy as TestLoader below)."""
 
     def __init__(self, roidb, cfg, batch_size: int, seed: int = 0,
-                 num_prefetch: int = 4, image_loader=load_image_bgr):
+                 num_prefetch: int = 4, num_workers: int = 4,
+                 image_loader=load_image_bgr):
         self.roidb = list(roidb)
         self.cfg = cfg
         self.batch_size = batch_size
@@ -38,6 +47,7 @@ class TrainLoader:
         self.buckets = [tuple(b) for b in cfg.TPU.IMAGE_BUCKETS]
         self.max_gt = int(cfg.TPU.MAX_GT)
         self.num_prefetch = num_prefetch
+        self.num_workers = num_workers
         self.image_loader = image_loader
         self._order = None
 
@@ -65,6 +75,8 @@ class TrainLoader:
         return idx
 
     def _load_one(self, entry):
+        """Decode+resize+flip (+s2d) ONE image — the worker-thread unit. PIL
+        decode and the numpy relayout release the GIL, so workers overlap."""
         im = self.image_loader(entry["image"])
         flip = bool(entry.get("flipped", False))
         boxes = entry["boxes"]
@@ -73,9 +85,16 @@ class TrainLoader:
                               entry["gt_classes"][keep, None].astype(np.float32)],
                              axis=1) if len(boxes) else np.zeros((0, 5), np.float32)
         target, max_size = self.cfg.SCALES[0]
+        u8 = bool(self.cfg.TPU.get("H2D_UINT8", True))
         img, im_info, gt_scaled = prepare_image(
-            im, target, max_size, self.cfg.network.PIXEL_MEANS, self.buckets,
+            im, target, max_size,
+            None if u8 else self.cfg.network.PIXEL_MEANS, self.buckets,
             flip=flip, boxes=gt5)
+        if bool(self.cfg.TPU.get("S2D_INPUT", True)):
+            # planar relayout inside the worker (device-side strided-slice s2d
+            # measured 10x worse; see data/image.py)
+            from relation_tpu.data.image import to_s2d_planar
+            img = to_s2d_planar(img)
         gt = np.zeros((self.max_gt, 5), np.float32)
         gv = np.zeros((self.max_gt,), bool)
         n = min(len(gt_scaled), self.max_gt) if gt_scaled is not None else 0
@@ -84,59 +103,63 @@ class TrainLoader:
             gv[:n] = True
         return img, im_info, gt, gv
 
-    def _make_batch(self, indices):
-        ims, infos, gts, gvs = [], [], [], []
-        for i in indices:
-            img, info, gt, gv = self._load_one(self.roidb[i])
-            ims.append(img)
-            infos.append(info)
-            gts.append(gt)
-            gvs.append(gv)
-        # all images in a batch share the largest bucket among them
-        bh = max(im.shape[0] for im in ims)
-        bw = max(im.shape[1] for im in ims)
-        out = np.zeros((len(ims), bh, bw, 3), np.float32)
-        for b, im in enumerate(ims):
-            out[b, :im.shape[0], :im.shape[1]] = im
-        if bool(self.cfg.TPU.get("S2D_INPUT", True)):
-            # TPU-first input layout (see models/backbone.py): dense s2d
-            # planar [B, 12, H/2, W/2] instead of lane-padded [B, H, W, 3]
-            from relation_tpu.data.image import to_s2d_planar
-            out = np.stack([to_s2d_planar(im) for im in out])
+    @staticmethod
+    def _assemble(loaded):
+        """Stack per-image worker outputs into one batch; images in a batch
+        share the largest bucket among them (zero pad — consistent for both
+        the HWC and the s2d planar layout, whose pad region is also zero)."""
+        ims, infos, gts, gvs = zip(*loaded)
+        planar = ims[0].ndim == 3 and ims[0].shape[0] == 12 \
+            and ims[0].shape[-1] != 3
+        if planar:                               # [12, H/2, W/2]
+            bh = max(im.shape[1] for im in ims)
+            bw = max(im.shape[2] for im in ims)
+            out = np.zeros((len(ims), 12, bh, bw), ims[0].dtype)
+            for b, im in enumerate(ims):
+                out[b, :, :im.shape[1], :im.shape[2]] = im
+        else:                                    # [H, W, 3]
+            bh = max(im.shape[0] for im in ims)
+            bw = max(im.shape[1] for im in ims)
+            out = np.zeros((len(ims), bh, bw, 3), ims[0].dtype)
+            for b, im in enumerate(ims):
+                out[b, :im.shape[0], :im.shape[1]] = im
         return {"image": out, "im_info": np.stack(infos),
                 "gt_boxes": np.stack(gts), "gt_valid": np.stack(gvs)}
+
+    def _make_batch(self, indices):
+        return self._assemble([self._load_one(self.roidb[i]) for i in indices])
 
     def __iter__(self):
         order = self._shuffled_order()
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order) - self.batch_size + 1,
                                   self.batch_size)]
-        if self.num_prefetch <= 0:
+        if self.num_prefetch <= 0 or self.num_workers <= 0:
             for b in batches:
                 yield self._make_batch(b)
             return
-        q: queue.Queue = queue.Queue(maxsize=self.num_prefetch)
-        stop = object()
-
-        def worker():
-            # exceptions travel to the consumer — a dead prefetch thread must
-            # not silently truncate the epoch
+        # per-IMAGE futures in an in-order window (num_prefetch batches deep):
+        # decode parallelism is independent of batch size, unlike the old
+        # one-thread-per-epoch batch builder
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            inflight: deque = deque()
+            it = iter(batches)
             try:
-                for b in batches:
-                    q.put(self._make_batch(b))
-                q.put(stop)
-            except BaseException as e:  # noqa: BLE001
-                q.put(e)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+                while True:
+                    while len(inflight) < self.num_prefetch:
+                        b = next(it, None)
+                        if b is None:
+                            break
+                        inflight.append([pool.submit(self._load_one,
+                                                     self.roidb[i]) for i in b])
+                    if not inflight:
+                        break
+                    futs = inflight.popleft()
+                    yield self._assemble([f.result() for f in futs])
+            finally:
+                for futs in inflight:
+                    for f in futs:
+                        f.cancel()
 
 
 class TestLoader:

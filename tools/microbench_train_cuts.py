@@ -1,0 +1,112 @@
+"""Cumulative-cut profile of the TRAIN step vs batch size, on the real chip.
+
+Round-2 verdict: per-image train cost RISES with batch (B=1 25.8 ms, B=4
+32.9 ms/img) — this tool localizes which stage sub-scales, using the same
+cumulative-cut methodology that found the FPN inference budget
+(tools/microbench_fpn.py): each cut compiles the REAL train step truncated
+after a named stage (core/trainer.py make_train_step(stop_after=...)), so
+every measurement is the one production graph, never an isolated probe.
+
+Usage: python tools/microbench_train_cuts.py [--batch 1 4] [--cuts rpn ...]
+"""
+import argparse
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+CUTS = ["rpn", "anchor_targets", "proposals", "sample", "head", ""]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, nargs="+", default=[1, 4])
+    ap.add_argument("--cuts", nargs="+", default=CUTS)
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+    from __graft_entry__ import _flagship_cfg
+    from relation_tpu.core.trainer import (build_model, make_train_step,
+                                           create_train_state)
+
+    cfg = _flagship_cfg()
+    cfg.TRAIN.lr = 1e-5
+    cfg.TRAIN.warmup = False
+    cfg.TPU.GRAD_CLIP = 1.0
+    model = build_model(cfg)
+    H, W = 608, 1024
+    rng = np.random.RandomState(0)
+
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               jnp.zeros((12, H // 2, W // 2)),
+                               jnp.asarray([float(H), float(W), 1.0]))
+    host_state = jax.tree.map(np.asarray, state)
+    max_gt = int(cfg.TPU.get("MAX_GT", 100))
+
+    g = jax.jit(lambda a: a + 1)
+    np.asarray(g(jnp.zeros(())))
+    rt = min(_t(lambda: np.asarray(g(jnp.zeros(())))) for _ in range(5))
+
+    results = {}
+    for B in args.batch:
+        gt = np.zeros((B, max_gt, 5), np.float32)
+        gv = np.zeros((B, max_gt), bool)
+        for b in range(B):
+            gt[b, 0] = [30, 40, 260, 300, 17]
+            gt[b, 1] = [300, 200, 580, 420, 3]
+            gt[b, 2] = [100, 350, 220, 500, 56]
+            gv[b, :3] = True
+        batch = {
+            "image": jnp.asarray(rng.randn(B, 12, H // 2, W // 2)
+                                 .astype(np.float32) * 40),
+            "im_info": jnp.tile(jnp.asarray([[600.0, 1000.0, 1.667]],
+                                            jnp.float32), (B, 1)),
+            "gt_boxes": jnp.asarray(gt),
+            "gt_valid": jnp.asarray(gv),
+        }
+        prev = 0.0
+        for cut in args.cuts:
+            step = make_train_step(model, cfg, stop_after=cut)
+            jstep = jax.jit(step, donate_argnums=(0,))
+            cur, m = jstep(jax.device_put(host_state), batch)
+            np.asarray(m["total_loss"])
+            n = args.steps
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    cur, m = jstep(cur, batch)
+                float(np.asarray(m["total_loss"]))
+                best = min(best, (time.perf_counter() - t0 - rt) / n * 1e3)
+            name = cut or "full"
+            results[(B, name)] = best
+            print(f"B={B} cut={name:<14} {best:8.2f} ms total "
+                  f"{best / B:7.2f} ms/img  (+{(best - prev) / B:6.2f} ms/img)",
+                  flush=True)
+            prev = best
+            del cur, m, jstep
+
+    if len(args.batch) >= 2 and len(args.cuts) >= 2:
+        b0, b1 = args.batch[0], args.batch[-1]
+        print(f"\nper-image stage deltas (B={b0} vs B={b1}):")
+        prev0 = prev1 = 0.0
+        for cut in args.cuts:
+            name = cut or "full"
+            d0 = (results[(b0, name)] - prev0) / b0
+            d1 = (results[(b1, name)] - prev1) / b1
+            flag = "  <-- sub-scales" if d1 > 1.15 * d0 else ""
+            print(f"  {name:<14} B={b0}: {d0:6.2f}  B={b1}: {d1:6.2f} ms/img{flag}")
+            prev0, prev1 = results[(b0, name)], results[(b1, name)]
+
+
+def _t(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()
