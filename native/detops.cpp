@@ -126,6 +126,76 @@ int64_t soft_nms(const float* dets, int64_t n, float sigma, int64_t max_dets,
     return cnt;
 }
 
+// COCO greedy detection<->gt matching for ONE (image, class), over all A area
+// ranges x T IoU thresholds in a single call. Mirrors the reference's
+// cocoeval.evaluateImg greedy loop (lib/dataset/pycocotools/cocoeval.py:271-332)
+// exactly — including the tie rule (equal IoU prefers the LATER gt), the
+// ignored-gt fallback (scan breaks once a real match exists and the remaining
+// gts are ignored), and crowd-gt reuse. This is the hot loop of dataset-scale
+// evaluation (minival: ~400k (image, class) pairs; pure-Python costs ~µs-per-
+// op on the T x D x G triple loop, this costs ns).
+//
+// Inputs:
+//   ious     [D, G] float64 — IoU in (score-sorted det) x (ORIGINAL gt) order
+//   gt_area  [G] float64;  gt_crowd [G] uint8
+//   det_area [D] float64 (score-sorted order)
+//   thrs     [T] float64 (ascending COCO 0.50:0.05:0.95)
+//   area_rng [A, 2] float64 (lo, hi per range)
+// Outputs (caller-allocated):
+//   matched  [A, T, D] uint8;  ignored [A, T, D] uint8
+//   num_gt   [A] int64 — non-ignored gt count per range
+void coco_match_image(const double* ious, int64_t D, int64_t G,
+                      const double* gt_area, const uint8_t* gt_crowd,
+                      const double* det_area,
+                      const double* thrs, int64_t T,
+                      const double* area_rng, int64_t A,
+                      uint8_t* matched, uint8_t* ignored, int64_t* num_gt) {
+    std::vector<uint8_t> gt_ign(G);
+    std::vector<int64_t> order(G);
+    std::vector<uint8_t> used(G);
+    for (int64_t a = 0; a < A; ++a) {
+        const double lo = area_rng[a * 2], hi = area_rng[a * 2 + 1];
+        int64_t ngt = 0;
+        for (int64_t g = 0; g < G; ++g) {
+            gt_ign[g] = gt_crowd[g] || gt_area[g] < lo || gt_area[g] > hi;
+            if (!gt_ign[g]) ++ngt;
+        }
+        num_gt[a] = ngt;
+        // non-ignored gts first, stable (cocoeval sorts by _ignore)
+        int64_t w = 0;
+        for (int64_t g = 0; g < G; ++g) if (!gt_ign[g]) order[w++] = g;
+        for (int64_t g = 0; g < G; ++g) if (gt_ign[g]) order[w++] = g;
+        uint8_t* m_a = matched + a * T * D;
+        uint8_t* i_a = ignored + a * T * D;
+        for (int64_t t = 0; t < T; ++t) {
+            std::fill(used.begin(), used.end(), 0);
+            uint8_t* m_row = m_a + t * D;
+            uint8_t* i_row = i_a + t * D;
+            for (int64_t d = 0; d < D; ++d) {
+                double best_iou = std::min(thrs[t], 1.0 - 1e-10);
+                int64_t best_g = -1;
+                for (int64_t oi = 0; oi < G; ++oi) {
+                    const int64_t g = order[oi];
+                    if (used[g] && !gt_crowd[g]) continue;
+                    if (best_g > -1 && !gt_ign[best_g] && gt_ign[g]) break;
+                    const double v = ious[d * G + g];
+                    if (v < best_iou) continue;
+                    best_iou = v;
+                    best_g = g;
+                }
+                if (best_g >= 0) {
+                    used[best_g] = 1;
+                    m_row[d] = 1;
+                    i_row[d] = gt_ign[best_g];
+                } else {
+                    m_row[d] = 0;
+                    i_row[d] = det_area[d] < lo || det_area[d] > hi;
+                }
+            }
+        }
+    }
+}
+
 // ---- COCO RLE mask API (maskApi.c equivalents) ----
 // RLE layout: counts of alternating 0/1 runs over the column-major mask.
 

@@ -115,14 +115,29 @@ class CocoEvaluator:
         self.dets = {}       # (img_id, cls) -> list of (score, xywh)
 
     def add_detections(self, image_id: int, dets: np.ndarray):
-        """dets: [N, 6] rows (class, score, x1, y1, x2, y2), original coords."""
-        for row in np.asarray(dets):
-            cls = int(row[0])
-            if cls < 1:
-                continue
-            x1, y1, x2, y2 = row[2:6]
-            xywh = (float(x1), float(y1), float(x2 - x1 + 1), float(y2 - y1 + 1))
-            self.dets.setdefault((image_id, cls), []).append((float(row[1]), xywh))
+        """dets: [N, 6] rows (class, score, x1, y1, x2, y2), original coords.
+
+        Stored as per-(image, class) chunks of (scores [k], xywh [k, 4]) —
+        vectorized class grouping (a stable sort preserves within-class
+        insertion order, the tie-break cocoeval inherits from detection
+        order); the per-row python loop was ~20% of summarize wall at
+        minival scale."""
+        dets = np.asarray(dets, float).reshape(-1, 6)
+        cls = dets[:, 0].astype(np.int64)
+        keep = cls >= 1
+        dets, cls = dets[keep], cls[keep]
+        if not len(dets):
+            return
+        order = np.argsort(cls, kind="stable")
+        dets, cls = dets[order], cls[order]
+        xywh = np.stack([dets[:, 2], dets[:, 3],
+                         dets[:, 4] - dets[:, 2] + 1,
+                         dets[:, 5] - dets[:, 3] + 1], axis=1)
+        bounds = np.flatnonzero(np.diff(cls)) + 1
+        for s, b, c in zip(np.split(dets[:, 1], bounds),
+                           np.split(xywh, bounds),
+                           cls[np.concatenate([[0], bounds])]):
+            self.dets.setdefault((image_id, int(c)), []).append((s, b))
 
     def summarize(self, max_det: int = 100,
                   max_dets: tuple = (1, 10, 100)) -> dict:
@@ -137,24 +152,69 @@ class CocoEvaluator:
         rec_all = {(k, m): np.full((T, len(classes)), np.nan)
                    for k in AREA_RNG for m in max_dets}
 
+        area_keys = list(AREA_RNG)
+        area_arr = np.ascontiguousarray([AREA_RNG[k] for k in area_keys], float)
+        thrs_arr = np.ascontiguousarray(IOU_THRS, float)
+        from relation_tpu.utils.native import coco_match_image
+
+        # pre-stage every (image, class) pair ONCE as typed contiguous numpy
+        # (score-sorted, capped at max_det) and index the pairs per class in
+        # ds.image_ids order — only pairs with gts or dets are visited (an
+        # empty pair appends empty arrays and ngt 0; at minival scale the
+        # vast majority of the 5000 x 80 grid is empty)
+        img_rank = {im: i for i, im in enumerate(self.ds.image_ids)}
+        det_np, gt_np = {}, {}
+        keys_by_class: dict = {}
+        for key, chunks in self.dets.items():
+            if key[0] not in img_rank:
+                continue
+            s = np.concatenate([c[0] for c in chunks])
+            b = np.concatenate([c[1] for c in chunks])
+            order = np.argsort(-s, kind="mergesort")[:max_det]
+            b = np.ascontiguousarray(b[order])
+            det_np[key] = (s[order], b, b[:, 2] * b[:, 3])
+            keys_by_class.setdefault(key[1], set()).add(key[0])
+        for key, gts in self._gt.items():
+            if key[0] not in img_rank:
+                continue
+            gt_np[key] = (
+                np.asarray([g[0] for g in gts], float).reshape(-1, 4),
+                np.ascontiguousarray([g[1] for g in gts], float),
+                np.ascontiguousarray([g[2] for g in gts], np.uint8))
+            keys_by_class.setdefault(key[1], set()).add(key[0])
+        _d_empty = (np.zeros(0), np.zeros((0, 4)), np.zeros(0))
+        _g_empty = (np.zeros((0, 4)), np.zeros(0), np.zeros(0, np.uint8))
+
         for ci, cls in enumerate(classes):
             per_area_scores = {k: [] for k in AREA_RNG}
             per_area_matched = {k: [] for k in AREA_RNG}
             per_area_ignored = {k: [] for k in AREA_RNG}
             per_area_ngt = {k: 0 for k in AREA_RNG}
-            for img_id in self.ds.image_ids:
-                gts = self._gt.get((img_id, cls), [])
-                ds = self.dets.get((img_id, cls), [])
-                gt_boxes = np.asarray([g[0] for g in gts], float).reshape(-1, 4)
-                gt_area = np.asarray([g[1] for g in gts], float)
-                gt_crowd = np.asarray([g[2] for g in gts], bool)
-                det_scores = np.asarray([d[0] for d in ds], float)
-                det_boxes = np.asarray([d[1] for d in ds], float).reshape(-1, 4)
-                det_areas = det_boxes[:, 2] * det_boxes[:, 3]
-                for k, rng in AREA_RNG.items():
-                    gt_ignore = gt_crowd | (gt_area < rng[0]) | (gt_area > rng[1])
+            imgs = sorted(keys_by_class.get(cls, ()), key=img_rank.__getitem__)
+            for img_id in imgs:
+                gt_boxes, gt_area, gt_crowd = gt_np.get((img_id, cls), _g_empty)
+                det_scores, det_boxes, det_areas = det_np.get((img_id, cls),
+                                                              _d_empty)
+                # ONE IoU matrix per (image, class) — the native matcher runs
+                # all 4 area ranges x 10 thresholds in a single call
+                # (cocoeval computes IoU once per pair the same way,
+                # cocoeval.py:271-378)
+                nat = coco_match_image(
+                    _iou_matrix(det_boxes, gt_boxes, gt_crowd.astype(bool)),
+                    gt_area, gt_crowd, det_areas, thrs_arr, area_arr)
+                if nat is not None:
+                    matched_a, ignored_a, ngt_a = nat
+                    for ai, k in enumerate(area_keys):
+                        per_area_scores[k].append(det_scores)
+                        per_area_matched[k].append(matched_a[ai])
+                        per_area_ignored[k].append(ignored_a[ai])
+                        per_area_ngt[k] += int(ngt_a[ai])
+                    continue
+                for k, rng in AREA_RNG.items():   # pure-Python fallback
+                    crowd_b = gt_crowd.astype(bool)
+                    gt_ignore = crowd_b | (gt_area < rng[0]) | (gt_area > rng[1])
                     order, matched, ignored, ngt = _match_image(
-                        det_boxes, det_scores, gt_boxes, gt_ignore, gt_crowd,
+                        det_boxes, det_scores, gt_boxes, gt_ignore, crowd_b,
                         det_areas, rng, max_det)
                     per_area_scores[k].append(det_scores[order])
                     per_area_matched[k].append(matched)

@@ -58,6 +58,14 @@ def _load():
     lib.rle_iou.restype = ctypes.c_double
     lib.rle_iou.argtypes = [c_u32p, ctypes.c_int64, c_u32p, ctypes.c_int64,
                             ctypes.c_int]
+    # void* + raw .ctypes.data ints: this call runs ~400k times per minival
+    # summarize; POINTER casts per call measured ~60% of the wrapper cost
+    lib.coco_match_image.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,  # ious, D, G
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64,                  # thrs, T
+        ctypes.c_void_p, ctypes.c_int64,                  # area_rng, A
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -158,6 +166,39 @@ def soft_nms(dets: np.ndarray, sigma: float, max_dets: int = -1):
         ov = inter / (area[i] + area - inter)
         score[~dead] *= np.exp(-(ov[~dead] ** 2) / sigma)
     return np.asarray(keep, np.int64), np.asarray(scores, np.float32)
+
+
+def coco_match_image(ious: np.ndarray, gt_area: np.ndarray,
+                     gt_crowd: np.ndarray, det_area: np.ndarray,
+                     thrs: np.ndarray, area_rng: np.ndarray):
+    """Greedy COCO matching for one (image, class) over all area ranges and
+    IoU thresholds in one native call (cocoeval.evaluateImg semantics; see
+    native/detops.cpp). Returns (matched [A,T,D] bool, ignored [A,T,D] bool,
+    num_gt [A] int64), or None when the native lib is unavailable — the caller
+    (data/eval.py) falls back to its pure-Python matcher."""
+    lib = _load()
+    if not lib:
+        return None
+    D, G = ious.shape
+    A = len(area_rng)
+    T = len(thrs)
+    # callers (data/eval.py) pass correctly-typed contiguous arrays; require()
+    # is a no-op view check then, not a copy
+    ious = np.require(ious, np.float64, "C")
+    gt_area = np.require(gt_area, np.float64, "C")
+    gt_crowd = np.require(gt_crowd, np.uint8, "C")
+    det_area = np.require(det_area, np.float64, "C")
+    thrs = np.require(thrs, np.float64, "C")
+    area_rng = np.require(area_rng, np.float64, "C")
+    matched = np.empty((A, T, D), np.uint8)
+    ignored = np.empty((A, T, D), np.uint8)
+    num_gt = np.empty((A,), np.int64)
+    lib.coco_match_image(ious.ctypes.data, D, G, gt_area.ctypes.data,
+                         gt_crowd.ctypes.data, det_area.ctypes.data,
+                         thrs.ctypes.data, T, area_rng.ctypes.data, A,
+                         matched.ctypes.data, ignored.ctypes.data,
+                         num_gt.ctypes.data)
+    return matched.view(bool), ignored.view(bool), num_gt
 
 
 def rle_encode(mask: np.ndarray) -> np.ndarray:
