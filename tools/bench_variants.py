@@ -95,6 +95,14 @@ def main():
         ("fpn_relation_learn_nms",
          "resnet_v1_101_rcnn_fpn_attention_1024_pairwise_position_multi_head_16_learn_nms",
          True, False, 0.232),
+        # realistic class activation (round-2 verdict #5): trained-COCO images
+        # keep 5-20 classes above the 0.01 class filter; biasing cls_score so
+        # ~16 fg classes stay active makes the learned-NMS lax.cond take the
+        # XLA class-gather compact path IN CONTEXT (the random-params variants
+        # above activate all 80 classes = dense worst case by construction)
+        ("fpn_relation_learn_nms_active16",
+         "resnet_v1_101_rcnn_fpn_attention_1024_pairwise_position_multi_head_16_learn_nms",
+         True, False, 0.232),
     ]
     want = [a for a in sys.argv[1:] if not a.startswith("-")]
     for label, symbol, ln, sn, ref_s in variants:
@@ -102,6 +110,13 @@ def main():
             continue
         try:
             fn, params, image, im_info = build(symbol, ln, softnms=sn)
+            if label.endswith("_active16"):
+                b = np.zeros(81, np.float32)
+                b[1:] = -9.0                      # ~e^-9 softmax mass: inactive
+                b[rng.choice(80, 16, replace=False) + 1] = 0.0
+                params = dict(params)
+                params["cls_score"] = dict(params["cls_score"],
+                                           bias=jnp.asarray(b))
             img = jnp.asarray(rng.randn(*image.shape).astype(np.float32) * 40)
             ms = measure(fn, params, img, im_info)
             print(json.dumps({"variant": label, "value": round(ms, 3),
