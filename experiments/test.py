@@ -102,6 +102,8 @@ def main():
             cfg.TPU.GEOM_EMB_DTYPE = "float32"
             cfg.TPU.NMS_COMPACT_CLASSES = 0
 
+    from relation_tpu.utils.compile_cache import enable_from_env_or_cfg
+    enable_from_env_or_cfg(cfg)
     cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
     logger, out_path = create_logger(cfg.output_path or "output", cfg_name,
                                      cfg.dataset.test_image_set)

@@ -55,6 +55,8 @@ def main():
     from relation_tpu.utils.logging import create_logger, Speedometer
 
     cfg = load_config(args.cfg)
+    from relation_tpu.utils.compile_cache import enable_from_env_or_cfg
+    enable_from_env_or_cfg(cfg)
     cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
     logger, out_path = create_logger(cfg.output_path or "output", cfg_name,
                                      cfg.dataset.image_set)

@@ -193,6 +193,12 @@ def default_config() -> AttrDict:
     # kernel; the reference shrinks its attention batch the same way,
     # operator_py/learn_nms.py:296-309). 0 disables the compact path.
     TPU.NMS_COMPACT_CLASSES = 32
+    # Persistent XLA compilation cache directory ("" = off). One compile per
+    # (program, bucket) per MACHINE instead of per process — reruns, the
+    # eval-after-train handoff, and multi-bucket sweeps deserialize compiled
+    # executables from disk (utils/compile_cache.py; measured in
+    # tools/bench_multibucket.py). Env var RELATION_TPU_COMPILE_CACHE wins.
+    TPU.COMPILE_CACHE_DIR = ""
     # Eval loop: in-flight device-result window (async D2H pipelining) and
     # per-stage telemetry cadence (images between data/net/fetch/post logs).
     TPU.EVAL_PIPELINE_DEPTH = 8

@@ -240,6 +240,13 @@ class _TinyPyramid(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if x.ndim == 4 and x.shape[1] == 12:
+            # accept the s2d planar input layout (see _TinyTrunk, detector.py:
+            # 200-206); undo it — this trunk only runs on CPU in tests/dryruns
+            B, K, Ho, Wo = x.shape
+            x = (x.reshape(B, 2, 2, 3, Ho, Wo)
+                 .transpose(0, 4, 1, 5, 2, 3)
+                 .reshape(B, 2 * Ho, 2 * Wo, 3))
         outs = {}
         for stage, reps in ((2, 2), (3, 1), (4, 1)):
             for r in range(reps):

@@ -103,6 +103,12 @@ def main():
         ("fpn_relation_learn_nms_active16",
          "resnet_v1_101_rcnn_fpn_attention_1024_pairwise_position_multi_head_16_learn_nms",
          True, False, 0.232),
+        # same realistic activation for the C4 flagship: the lax.cond takes
+        # the fused Pallas skip kernel (~14 us/class) instead of the dense
+        # geom_bias+einsum mix — bench.py stays the dense worst case
+        ("flagship_learn_nms_active16",
+         "resnet_v1_101_rcnn_attention_1024_pairwise_position_multi_head_16_learn_nms",
+         True, False, 0.175),
     ]
     want = [a for a in sys.argv[1:] if not a.startswith("-")]
     for label, symbol, ln, sn, ref_s in variants:
