@@ -329,8 +329,11 @@ def create_train_state(model: RelationRCNN, cfg, rng: jax.Array,
     # still >= first_n so the learned-NMS trace is well-formed.
     n_init = max(int(model.first_n) + 1, 8)
     sample_rois_arr = jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (n_init, 1))
-    variables = model.init(rng, sample_image, sample_rois_arr, sample_im_info,
-                           n_init)
+    # jit the flax init: eager init dispatches ~600 ops one by one, which costs
+    # ~5 MINUTES through this environment's async device tunnel (~25 ms/fetch
+    # round trip); one compiled program brings it to ~30 s compile + ms run
+    variables = jax.jit(model.init, static_argnums=(4,))(
+        rng, sample_image, sample_rois_arr, sample_im_info, n_init)
     params = variables["params"]
     mask = trainable_mask(params, cfg.network.FIXED_PARAMS)
     tx = make_optimizer(cfg, epoch_size, mask)

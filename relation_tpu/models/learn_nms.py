@@ -30,6 +30,7 @@ import flax.linen as nn
 from relation_tpu.ops.boxes import refine_bbox
 from relation_tpu.ops.embeddings import (extract_rank_embedding,
                                          extract_multi_position_matrix_t)
+from relation_tpu.ops.gathers import take_along0, take_rows
 from relation_tpu.models.relation import NMSRelationModule
 
 _norm_init = nn.initializers.normal(0.01)
@@ -84,9 +85,12 @@ class LearnNMSHead(nn.Module):
         cls_prob = jax.nn.softmax(cls_score, axis=-1)
         prob_nobg = cls_prob[:, 1:]                               # [N, C]
 
-        # per-class descending sort; take first_n (reference :442-449)
+        # per-class descending sort; take first_n (reference :442-449).
+        # take_along0/take_rows: forward-identical gathers whose backward is a
+        # one-hot matmul, not a scatter-add (ops/gathers.py — the rank-gather
+        # scatter was 0.68 ms of the flagship train step)
         rank_idx = jnp.argsort(-prob_nobg, axis=0)[:F]            # [F, C]
-        sorted_score = jnp.take_along_axis(prob_nobg, rank_idx, axis=0)  # [F, C]
+        sorted_score = take_along0(prob_nobg, rank_idx)           # [F, C]
 
         if self.class_agnostic:
             # refined[:, :, 0] gathered per class: [F, C, 4]
@@ -110,7 +114,7 @@ class LearnNMSHead(nn.Module):
         # roi feature embedding -> 128, gathered in rank order (reference :469-474)
         roi_emb = nn.Dense(128, name="roi_feat_embedding", dtype=self.dtype,
                            kernel_init=_norm_init)(roi_feat)      # [N, 128]
-        sorted_roi_feat = roi_emb[rank_idx]                       # [F, C, 128]
+        sorted_roi_feat = take_rows(roi_emb, rank_idx)            # [F, C, 128]
 
         nms_embedding_feat = sorted_roi_feat + rank_feat[:, None, :]
 

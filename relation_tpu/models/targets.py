@@ -27,13 +27,22 @@ from relation_tpu.ops.boxes import bbox_overlaps, bbox_transform
 _NEG = -1e9
 
 
-def _rank_among(mask: jnp.ndarray, priority: jnp.ndarray) -> jnp.ndarray:
-    """Rank (0-based) of each element among `mask`-selected elements, ordered by
-    descending priority. Non-selected elements get a huge rank."""
+def _keep_top(mask: jnp.ndarray, priority: jnp.ndarray, cap, k_max: int
+              ) -> jnp.ndarray:
+    """True for the `cap` highest-`priority` elements among `mask` (all of them
+    if fewer). ``cap`` may be traced but must be <= static ``k_max``.
+
+    Equivalent to rank-among-masked < cap, but top_k + a <=k_max-element
+    scatter instead of a full argsort + K-element scatter — the K-wide rank
+    scatter was 187 us at K=22k (C4) and far worse at the 622k FPN pyramid;
+    top_k(256) is 40 us. Ties: top_k prefers the earlier index, exactly like a
+    stable descending argsort, so the selected set is unchanged."""
     key = jnp.where(mask, priority, _NEG)
-    order = jnp.argsort(-key)                       # best first
-    ranks = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
-    return jnp.where(mask, ranks, jnp.int32(1 << 30))
+    k_max = min(int(k_max), key.shape[0])
+    _, idx = jax.lax.top_k(key, k_max)
+    keep = jnp.zeros(mask.shape, bool).at[idx].set(
+        jnp.arange(k_max) < cap, mode="drop", unique_indices=True)
+    return keep & mask
 
 
 def anchor_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
@@ -85,14 +94,16 @@ def anchor_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
     k_fg, k_bg = jax.random.split(rng)
     num_fg_cap = int(fg_fraction * rpn_batch_size)
     fg_mask = label == 1
-    fg_rank = _rank_among(fg_mask, jax.random.uniform(k_fg, (K,)))
-    label = jnp.where(fg_mask & (fg_rank >= num_fg_cap), -1, label)
+    fg_keep = _keep_top(fg_mask, jax.random.uniform(k_fg, (K,)),
+                        num_fg_cap, num_fg_cap)
+    label = jnp.where(fg_mask & ~fg_keep, -1, label)
 
     num_fg_kept = jnp.sum((label == 1).astype(jnp.int32))
     num_bg_cap = rpn_batch_size - num_fg_kept
     bg_mask = label == 0
-    bg_rank = _rank_among(bg_mask, jax.random.uniform(k_bg, (K,)))
-    label = jnp.where(bg_mask & (bg_rank >= num_bg_cap), -1, label)
+    bg_keep = _keep_top(bg_mask, jax.random.uniform(k_bg, (K,)),
+                        num_bg_cap, rpn_batch_size)
+    label = jnp.where(bg_mask & ~bg_keep, -1, label)
 
     target = bbox_transform(anchors, gt_boxes[argmax_overlaps, :4])
     target = jnp.where((num_gt > 0) & (label[:, None] == 1), target, 0.0)
@@ -167,11 +178,11 @@ def sample_rois(rois: jnp.ndarray, roi_valid: jnp.ndarray, gt_boxes: jnp.ndarray
     else:
         k_fg, k_bg, k_pad, k_gap = jax.random.split(rng, 4)
         fg_cap = int(round(fg_fraction * batch_rois))
-        fg_rank = _rank_among(fg, jax.random.uniform(k_fg, (R + G,)))
-        fg_sel = fg & (fg_rank < fg_cap)
+        fg_sel = _keep_top(fg, jax.random.uniform(k_fg, (R + G,)),
+                           fg_cap, fg_cap)
         n_fg = jnp.sum(fg_sel.astype(jnp.int32))
-        bg_rank = _rank_among(bg, jax.random.uniform(k_bg, (R + G,)))
-        bg_sel = bg & (bg_rank < batch_rois - n_fg)
+        bg_sel = _keep_top(bg, jax.random.uniform(k_bg, (R + G,)),
+                           batch_rois - n_fg, batch_rois)
         n_keep = n_fg + jnp.sum(bg_sel.astype(jnp.int32))
         # ordering key: selected fg(0) < selected bg(1) < rest(2); random within
         key = jnp.where(fg_sel, 0, jnp.where(bg_sel, 1, 2)).astype(jnp.float32)
@@ -229,8 +240,7 @@ def ohem_select(cls_score: jnp.ndarray, bbox_pred: jnp.ndarray, label: jnp.ndarr
     box_loss = jnp.sum(bbox_weight * sl1, axis=1)
 
     per_roi = jnp.where(label >= 0, cls_loss + box_loss, _NEG)
-    rank = _rank_among(label >= 0, per_roi)
-    keep = (label >= 0) & (rank < roi_per_img)
+    keep = _keep_top(label >= 0, per_roi, roi_per_img, roi_per_img)
     labels_ohem = jnp.where(keep, label, -1)
     weights_ohem = jnp.where(keep[:, None], bbox_weight, 0.0)
     return labels_ohem, weights_ohem

@@ -35,6 +35,12 @@ def test_overfit_synthetic_scene(rng):
     cfg.TRAIN.ENABLE_OHEM = False
     cfg.TRAIN.lr = 0.01
     cfg.TRAIN.lr_step = ""
+    # the smoke lr is ~20x the reference schedule (train_end2end.py lr=0.0005)
+    # to converge in 600 steps; at that lr the spiky learned-NMS+bbox feedback
+    # can diverge on fp-rounding luck (observed: any graph change reshuffles
+    # the trajectory; loss 10 -> 1.8e4 -> nan within 4 steps). Clip like any
+    # high-lr run would — production default stays None for reference parity.
+    cfg.TPU.GRAD_CLIP = 5.0
     # classic path for the localization check: the learned-NMS conditional score
     # needs far more steps to calibrate than a smoke test allows; its losses are
     # still asserted to fall below

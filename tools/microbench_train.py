@@ -15,6 +15,7 @@ Usage: python tools/microbench_train.py [--batch 1 2 4]
   single-chip scaling curve for the samples/sec row in BASELINE.md)
 """
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -28,6 +29,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, nargs="+", default=[1])
     args = ap.parse_args()
+    from relation_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(os.environ.get("RELATION_TPU_COMPILE_CACHE",
+                                        "/tmp/rtpu_xla_cache"))
     from __graft_entry__ import _flagship_cfg
     from relation_tpu.core.trainer import (build_model, make_train_step,
                                            create_train_state)

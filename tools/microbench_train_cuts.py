@@ -10,6 +10,7 @@ every measurement is the one production graph, never an isolated probe.
 Usage: python tools/microbench_train_cuts.py [--batch 1 4] [--cuts rpn ...]
 """
 import argparse
+import os
 import sys
 import time
 
@@ -28,6 +29,10 @@ def main():
     ap.add_argument("--cuts", nargs="+", default=CUTS)
     ap.add_argument("--steps", type=int, default=20)
     args = ap.parse_args()
+    # persistent compile cache: 6 cuts x ~100 s XLA compile otherwise
+    from relation_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(os.environ.get("RELATION_TPU_COMPILE_CACHE",
+                                        "/tmp/rtpu_xla_cache"))
     from __graft_entry__ import _flagship_cfg
     from relation_tpu.core.trainer import (build_model, make_train_step,
                                            create_train_state)
