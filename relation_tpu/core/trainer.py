@@ -83,6 +83,17 @@ def build_model(cfg, tiny: bool = False):
                         str(cfg.TPU.get("GEOM_EMB_DTYPE", "bfloat16"))
                         == "bfloat16" else None),
         compact_classes=int(cfg.TPU.get("NMS_COMPACT_CLASSES", 32)),
+        # grad_req='null' analogue: stop_gradient after the deepest fully-
+        # frozen trunk stage so XLA DCEs conv1+res2 backward (the stride-4/8
+        # stages; reference core/module.py:753-773). The optimizer mask
+        # already zeroes these grads — numerics are unchanged, backward
+        # bandwidth is not. freeze_through=2 requires res2 AND conv1 frozen.
+        freeze_through=max(
+            (s for s in (2, 3, 4)
+             if "conv1" in cfg.network.FIXED_PARAMS
+             and all(f"res{t}" in cfg.network.FIXED_PARAMS
+                     for t in range(2, s + 1))),
+            default=0),
     )
     if "fpn" in cfg.symbol:
         from relation_tpu.models.fpn import RelationRCNNFPN
@@ -167,17 +178,15 @@ def make_train_step(model: RelationRCNN, cfg, stop_after: str = "") -> Callable:
 
     pixel_means = tuple(float(m) for m in cfg.network.PIXEL_MEANS)
 
-    def per_image(params, image, im_info, gt_boxes, gt_valid, rng):
-        # uint8 loader batches (TPU.H2D_UINT8): exact on-device mean-sub +
-        # pad-zeroing; no-op for f32 inputs (dtype is static under jit)
-        from relation_tpu.core.predictor import _image_from_u8
-        image = _image_from_u8(image, im_info, pixel_means)
+    def per_image(params, feat, rpn, im_info, gt_boxes, gt_valid, rng):
+        """Everything after the (batched) conv trunk, for ONE image.
+
+        ``feat``/``rpn``: this image's slice of the batched trunk outputs —
+        C4: (head feat [h,w,256], (rpn_cls [h,w,2A], rpn_bbox [h,w,4A]));
+        FPN: (pyramid dict, {stride: (cls, bbox)} dict)."""
         r_anchor, r_sample = jax.random.split(rng)
         if is_fpn:
-            pyramid, rpn_out = model.apply(
-                {"params": params}, image,
-                method=RelationRCNNFPN.features_and_rpn)
-            feat = pyramid
+            rpn_out = rpn
             # per-level grids concatenated in FPN_STRIDES order (the pyramid
             # analogue of assign_pyramid_anchor, lib/rpn/rpn.py:246-330)
             level_anchors = fpn_anchors(
@@ -193,8 +202,7 @@ def make_train_step(model: RelationRCNN, cfg, stop_after: str = "") -> Callable:
                 [rpn_out[s][1].astype(jnp.float32).reshape(-1, 4)
                  for s in FPN_STRIDES])
         else:
-            feat, rpn_cls, rpn_bbox = model.apply(
-                {"params": params}, image, method=RelationRCNN.features_and_rpn)
+            rpn_cls, rpn_bbox = rpn
             fh, fw = rpn_cls.shape[0], rpn_cls.shape[1]
             anchors = shift_anchors(base_anchors, fh, fw, stride)
 
@@ -304,16 +312,31 @@ def make_train_step(model: RelationRCNN, cfg, stop_after: str = "") -> Callable:
         return total, metrics
 
     def train_step(state: TrainState, batch):
-        """batch: dict(image [B,H,W,3], im_info [B,3], gt_boxes [B,G,5],
-        gt_valid [B,G])."""
+        """batch: dict(image [B,H,W,3] or s2d [B,12,H/2,W/2] (f32 or uint8),
+        im_info [B,3], gt_boxes [B,G,5], gt_valid [B,G])."""
         step_rng = jax.random.fold_in(state.rng, state.step)
         B = batch["image"].shape[0]
         rngs = jax.random.split(step_rng, B)
 
         def loss_fn(params):
-            totals, metrics = jax.vmap(per_image, in_axes=(None, 0, 0, 0, 0, 0))(
-                params, batch["image"], batch["im_info"], batch["gt_boxes"],
-                batch["gt_valid"], rngs)
+            # uint8 loader batches (TPU.H2D_UINT8): exact on-device mean-sub
+            # + pad-zeroing; no-op for f32 (dtype is static under jit)
+            from relation_tpu.core.predictor import _image_from_u8
+            images = jax.vmap(
+                lambda im, ii: _image_from_u8(im, ii, pixel_means))(
+                    batch["image"], batch["im_info"])
+            # conv trunk runs natively batched (one conv program over B, the
+            # XLA form vmap would produce anyway — but the Pallas stem's B==1
+            # dispatch stays correct: un-vmapped kernel at B=1, XLA tap-slice
+            # path at B>1 instead of vmap's pallas batching, which VMEM-OOMs)
+            method = (RelationRCNNFPN.features_and_rpn if is_fpn
+                      else RelationRCNN.features_and_rpn)
+            fr = model.apply({"params": params}, images, method=method)
+            feat, rpn = (fr[0], fr[1]) if is_fpn else (fr[0], (fr[1], fr[2]))
+            totals, metrics = jax.vmap(
+                per_image, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+                    params, feat, rpn, batch["im_info"], batch["gt_boxes"],
+                    batch["gt_valid"], rngs)
             return jnp.mean(totals), jax.tree.map(jnp.mean, metrics)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -209,6 +209,13 @@ class ResNet101C4(nn.Module):
     # weights are passed in (``res4_folded``), True forces the in-graph fold
     # (interpret mode on CPU — tests), False disables.
     fuse_res4: bool | None = None
+    # stop_gradient boundary after this stage (0 = none). The reference binds
+    # FIXED_PARAMS with grad_req='null' (core/module.py:753-773), which skips
+    # their backward kernels entirely; zeroing grads only in the optimizer
+    # mask still pays dgrad+wgrad through conv1+res2 — the most
+    # bandwidth-expensive (stride-4/8) stages. Numerics are identical: those
+    # grads were already masked to zero. No-op in forward-only graphs.
+    freeze_through: int = 0
 
     @nn.compact
     def __call__(self, x, res4_folded=None, trunk_folded=None):
@@ -299,6 +306,8 @@ class ResNet101C4(nn.Module):
                     x = Bottleneck(prefix=name, mid=mid, out=out,
                                    stride=stride if i == 0 else 1,
                                    has_proj=(i == 0), dtype=self.dtype)(x)
+            if stage <= self.freeze_through:
+                x = jax.lax.stop_gradient(x)
             outs[stage] = x
         if self.out_stages == (4,):
             return x

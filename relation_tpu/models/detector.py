@@ -70,10 +70,14 @@ class RelationRCNN(nn.Module):
     # tiny-model knobs for tests
     backbone: str = "resnet101"         # "resnet101" | "tiny"
     head_dim: int = 1024
+    # stop_gradient after this trunk stage (FIXED_PARAMS grad_req='null'
+    # analogue, reference core/module.py:753-773; see ResNet101C4)
+    freeze_through: int = 0
 
     def setup(self):
         if self.backbone == "resnet101":
-            self.c4 = ResNet101C4(dtype=self.conv_dtype)
+            self.c4 = ResNet101C4(dtype=self.conv_dtype,
+                                  freeze_through=self.freeze_through)
             if self.dcn:
                 from relation_tpu.models.backbone import ResNet101C5DCN
                 self.c5 = ResNet101C5DCN(dtype=self.conv_dtype)
@@ -124,18 +128,29 @@ class RelationRCNN(nn.Module):
                 compact_classes=self.compact_classes)
 
     def features_and_rpn(self, image, res4_folded=None):
-        """image [H, W, 3] (mean-subtracted BGR, fixed bucket) ->
-        (head_feat [H/16, W/16, 256], rpn_cls [h,w,A,2], rpn_bbox [h,w,A,4]).
+        """image [H, W, 3] / s2d [12, Ho, Wo] (mean-subtracted BGR, fixed
+        bucket) -> (head_feat [H/16, W/16, 256], rpn_cls [h,w,A,2],
+        rpn_bbox [h,w,A,4]).
+
+        A 4D input is treated as an explicit batch and returns batch-leading
+        outputs — the trainer runs the conv trunk natively batched (batched
+        convs == vmapped convs for XLA, but the Pallas stem's B==1 guard then
+        dispatches correctly instead of going through vmap's pallas batching,
+        which VMEM-OOMs at B>=4).
 
         ``res4_folded``: optional precomputed BN-folded res4 weight stacks
         (backbone.fold_res4_params) enabling the fused Pallas res4 kernel."""
+        batched = image.ndim == 4
+        x = image if batched else image[None]
         if self.backbone == "resnet101":
-            c4_feat = self.c4(image[None], res4_folded)   # [1, h, w, 1024]
+            c4_feat = self.c4(x, res4_folded)             # [B, h, w, 1024]
         else:
-            c4_feat = self.c4(image[None])
+            c4_feat = self.c4(x)
         rpn_cls, rpn_bbox = self.rpn(c4_feat)
-        c5_feat = self.c5(c4_feat)                        # [1, h, w, 2048]
-        reduced = nn.relu(self.conv_new_1(c5_feat))       # [1, h, w, 256]
+        c5_feat = self.c5(c4_feat)                        # [B, h, w, 2048]
+        reduced = nn.relu(self.conv_new_1(c5_feat))       # [B, h, w, 256]
+        if batched:
+            return reduced, rpn_cls, rpn_bbox
         return reduced[0], rpn_cls[0], rpn_bbox[0]
 
     def head(self, reduced_feat, rois, nongt_dim: int):

@@ -129,10 +129,14 @@ class RelationRCNNFPN(nn.Module):
     allow_pallas: bool = False
     # XLA learned-NMS attention: active-class gather cap (cfg.TPU.NMS_COMPACT_CLASSES)
     compact_classes: int = 32
+    # stop_gradient after this trunk stage (FIXED_PARAMS grad_req='null'
+    # analogue, reference core/module.py:753-773; see ResNet101C4)
+    freeze_through: int = 0
 
     def setup(self):
         if self.backbone == "resnet101":
-            self.c4 = ResNet101C4(dtype=self.conv_dtype, out_stages=(2, 3, 4))
+            self.c4 = ResNet101C4(dtype=self.conv_dtype, out_stages=(2, 3, 4),
+                                  freeze_through=self.freeze_through)
             self.c5 = ResNet101C5Standard(dtype=self.conv_dtype)
         else:
             self.c4 = _TinyPyramid(dtype=self.conv_dtype)
@@ -181,11 +185,18 @@ class RelationRCNNFPN(nn.Module):
         ``.reshape(-1, 2)`` / ``.reshape(-1, 4)`` on the raw layout yields the
         SAME (h, w, a)-major row order as the unpacked form, so loss-side
         consumers are unchanged; the proposal decode slices channel planes from
-        a [C, h, w] transpose instead (generate_proposals_fpn)."""
-        feats = self.c4(image[None])          # {2,3,4} multi-stage
+        a [C, h, w] transpose instead (generate_proposals_fpn).
+
+        A 4D input is an explicit batch and returns batch-leading outputs
+        (see RelationRCNN.features_and_rpn — the trainer batches the trunk
+        natively instead of vmapping it)."""
+        batched = image.ndim == 4
+        feats = self.c4(image if batched else image[None])  # {2,3,4} stages
         feats[5] = self.c5(feats[4])
         pyramid = self.neck(feats)
         rpn_out = {s: self.rpn(pyramid[s], raw=True) for s in FPN_STRIDES}
+        if batched:
+            return pyramid, rpn_out
         return ({s: f[0] for s, f in pyramid.items()},
                 {s: (c[0], b[0]) for s, (c, b) in rpn_out.items()})
 
