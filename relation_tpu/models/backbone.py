@@ -447,16 +447,21 @@ class DCNBottleneck(nn.Module):
                        nn.initializers.variance_scaling(2.0, "fan_out",
                                                         "truncated_normal"),
                        (3, 3, self.mid, self.mid))
-        batched = y.ndim == 4
-        yy = y[0] if batched else y
-        oo = offset[0] if batched else offset
         # gathers + GEMM ride the same bf16 policy as every other backbone
         # conv (offsets stay f32); accumulation is f32 inside deformable_conv
-        d = deformable_conv(yy.astype(self.dtype), oo,
-                            w.astype(self.dtype), kernel=3,
-                            dilation=self.dilation,
-                            num_groups=self.deform_groups)
-        y = (d[None] if batched else d).astype(self.dtype)
+        def dconv(yy, oo):
+            return deformable_conv(yy.astype(self.dtype), oo,
+                                   w.astype(self.dtype), kernel=3,
+                                   dilation=self.dilation,
+                                   num_groups=self.deform_groups)
+        if y.ndim == 4:
+            # per-image op: vmap over the batch (a [0]-slice here would
+            # silently broadcast image 0's deformable branch at B>1)
+            import jax
+            d = jax.vmap(dconv)(y, offset)
+        else:
+            d = dconv(y, offset)
+        y = d.astype(self.dtype)
         y = nn.relu(FrozenBatchNorm(name=f"bn{p}_branch2b")(y))
         y = _conv(f"res{p}_branch2c", self.out, 1, dtype=self.dtype)(y)
         y = FrozenBatchNorm(name=f"bn{p}_branch2c")(y)

@@ -187,9 +187,14 @@ def _bias_bwd_kernel(pos_ref, w_ref, g_ref, dpos_ref, dk_ref, db_ref, *, scale):
         trig_rows.append(jnp.ones_like(trig_rows[0])) # constant row -> bias
         trig = jnp.stack(trig_rows, axis=0)           # [65, NN]
 
-        acc = jax.lax.dot_general(                    # [G, NN] = W65^T trig
-            w_ref[:, :], trig, (((0,), (0,)), ((), ())),
+        # acc EXACTLY as the forward computes it (64-row dot, then + b) so
+        # the acc > 1e-6 clamp decision is bit-consistent between passes —
+        # a folded 65-row dot rounds differently and can flip the clamp
+        # where 1/acc amplifies the gradient toward 1e6
+        acc = jax.lax.dot_general(                    # [G, NN] = W^T trig
+            w_ref[:64, :], trig[:64], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        acc = acc + w_ref[64, :][:, None]
         g = g_ref[ci, :, :]                           # [G, NN]
         d_acc = jnp.where(acc > 1e-6, g / jnp.maximum(acc, 1e-6), 0.0)
 

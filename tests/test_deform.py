@@ -137,3 +137,22 @@ def test_dcn_detector_forward(rng):
     out = model.apply(params, img, rois, im_info, 6)
     assert out["cls_score"].shape == (6, 5)
     assert "offset" in params["params"]
+
+
+def test_dcn_bottleneck_batched_per_image(rng):
+    """At B>1 each image must get ITS OWN deformable branch (regression for a
+    [0]-slice that broadcast image 0's branch across the batch)."""
+    from relation_tpu.models.backbone import DCNBottleneck
+    block = DCNBottleneck(prefix="5a", mid=8, out=16, dilation=2,
+                          deform_groups=4, has_proj=True, dtype=jnp.float32)
+    x = jnp.asarray(rng.randn(2, 6, 6, 16).astype(np.float32))
+    params = block.init(jax.random.PRNGKey(0), x)
+    out_b = block.apply(params, x)
+    out_0 = block.apply(params, x[0:1])
+    out_1 = block.apply(params, x[1:2])
+    np.testing.assert_allclose(np.asarray(out_b[0]), np.asarray(out_0[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_b[1]), np.asarray(out_1[0]),
+                               rtol=1e-5, atol=1e-5)
+    # the two images genuinely differ (the bug made them share a branch)
+    assert np.abs(np.asarray(out_b[0]) - np.asarray(out_b[1])).max() > 1e-3

@@ -191,3 +191,48 @@ def test_classwise_nms_pallas_matches_vmap(rng):
         a = [i for i in order if ref[c, i]][:cap]
         b = [i for i in order if got[c, i]][:cap]
         assert a == b, c
+
+
+def test_gathers_grad_parity(rng):
+    """take_rows/take_along0 hand-written matmul VJPs == plain-gather autodiff,
+    including duplicate indices (production learn-NMS grad path,
+    ops/gathers.py)."""
+    import jax
+    from relation_tpu.ops.gathers import take_rows, take_along0
+    x = jnp.asarray(rng.randn(7, 5).astype(np.float32))
+    idx = jnp.asarray(np.array([0, 3, 3, 6, 1], np.int32))   # dup index 3
+    g_out = jnp.asarray(rng.randn(5, 5).astype(np.float32))
+
+    def loss_custom(x):
+        return jnp.sum(take_rows(x, idx) * g_out)
+
+    def loss_plain(x):
+        return jnp.sum(x[idx] * g_out)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_custom)(x)),
+                               np.asarray(jax.grad(loss_plain)(x)),
+                               rtol=1e-6, atol=1e-6)
+
+    idx2 = jnp.asarray(rng.randint(0, 7, size=(4, 5)).astype(np.int32))
+    idx2 = idx2.at[0].set(idx2[1])                           # dup rows
+
+    def loss_custom2(x):
+        return jnp.sum(take_along0(x, idx2) * g_out[:4])
+
+    def loss_plain2(x):
+        return jnp.sum(jnp.take_along_axis(x, idx2, axis=0) * g_out[:4])
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_custom2)(x)),
+                               np.asarray(jax.grad(loss_plain2)(x)),
+                               rtol=1e-6, atol=1e-6)
+
+    # under vmap (how the trainer uses them: jax.vmap(per_image))
+    xb = jnp.asarray(rng.randn(3, 7, 5).astype(np.float32))
+
+    def batched(fn):
+        return jax.grad(lambda xs: jnp.sum(jax.vmap(fn)(xs)))(xb)
+
+    np.testing.assert_allclose(
+        np.asarray(batched(lambda x: jnp.sum(take_rows(x, idx) * g_out))),
+        np.asarray(batched(lambda x: jnp.sum(x[idx] * g_out))),
+        rtol=1e-6, atol=1e-6)

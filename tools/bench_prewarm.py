@@ -39,10 +39,13 @@ def main():
     model = build_model(cfg)
 
     H0, W0 = buckets[0]
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((12, H0 // 2, W0 // 2), jnp.float32),
-                        jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (101, 1)),
-                        jnp.asarray([float(H0), float(W0), 1.0]), 101)["params"]
+    # jit the init: eager flax init dispatches ~600 ops one by one (~5 min
+    # through the async tunnel); one compiled program is seconds
+    params = jax.jit(model.init, static_argnums=(4,))(
+        jax.random.PRNGKey(0),
+        jnp.zeros((12, H0 // 2, W0 // 2), jnp.float32),
+        jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (101, 1)),
+        jnp.asarray([float(H0), float(W0), 1.0]), 101)["params"]
     params = jax.device_put(params)
 
     def warm_one(hw):

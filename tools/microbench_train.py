@@ -29,9 +29,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, nargs="+", default=[1])
     args = ap.parse_args()
+    # compile cache is OPT-IN here: through the axon tunnel a warm cache
+    # measured SLOWER first-calls than cold (BASELINE.md round 3), which
+    # distorts the cold-start component of these numbers
     from relation_tpu.utils.compile_cache import enable_compile_cache
-    enable_compile_cache(os.environ.get("RELATION_TPU_COMPILE_CACHE",
-                                        "/tmp/rtpu_xla_cache"))
+    enable_compile_cache(os.environ.get("RELATION_TPU_COMPILE_CACHE", ""))
     from __graft_entry__ import _flagship_cfg
     from relation_tpu.core.trainer import (build_model, make_train_step,
                                            create_train_state)

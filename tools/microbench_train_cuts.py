@@ -29,10 +29,12 @@ def main():
     ap.add_argument("--cuts", nargs="+", default=CUTS)
     ap.add_argument("--steps", type=int, default=20)
     args = ap.parse_args()
-    # persistent compile cache: 6 cuts x ~100 s XLA compile otherwise
+    # compile cache OPT-IN (warm cache measured slower than cold through the
+    # axon tunnel, BASELINE.md round 3); steady-state timings are unaffected
+    # either way, so set RELATION_TPU_COMPILE_CACHE only to trade honesty of
+    # the cold-start for a faster multi-cut sweep
     from relation_tpu.utils.compile_cache import enable_compile_cache
-    enable_compile_cache(os.environ.get("RELATION_TPU_COMPILE_CACHE",
-                                        "/tmp/rtpu_xla_cache"))
+    enable_compile_cache(os.environ.get("RELATION_TPU_COMPILE_CACHE", ""))
     from __graft_entry__ import _flagship_cfg
     from relation_tpu.core.trainer import (build_model, make_train_step,
                                            create_train_state)
