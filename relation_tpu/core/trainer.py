@@ -53,6 +53,21 @@ class TrainState(struct.PyTreeNode):
                             opt_state=new_opt)
 
 
+def _freeze_through(fixed_prefixes) -> int:
+    """Deepest trunk stage s such that conv1 and res2..res_s are all fully
+    covered by FIXED_PARAMS prefixes (reference prefix semantics: a param is
+    frozen iff its name STARTS WITH a prefix, core/module.py:753-773 — so
+    'res' covers every stage, 'res2' covers stage 2 only). Drives the
+    stop_gradient boundary in ResNet101C4 (grad_req='null' analogue)."""
+    def covered(name):
+        return any(name.startswith(p) for p in fixed_prefixes)
+    if not covered("conv1"):
+        return 0
+    return max((s for s in (2, 3, 4)
+                if all(covered(f"res{t}") for t in range(2, s + 1))),
+               default=0)
+
+
 def build_model(cfg, tiny: bool = False):
     """Instantiate the detector from a reference-schema config (the registry
     replacing the reference's eval(config.symbol), train_end2end.py:65)."""
@@ -88,12 +103,7 @@ def build_model(cfg, tiny: bool = False):
         # stages; reference core/module.py:753-773). The optimizer mask
         # already zeroes these grads — numerics are unchanged, backward
         # bandwidth is not. freeze_through=2 requires res2 AND conv1 frozen.
-        freeze_through=max(
-            (s for s in (2, 3, 4)
-             if "conv1" in cfg.network.FIXED_PARAMS
-             and all(f"res{t}" in cfg.network.FIXED_PARAMS
-                     for t in range(2, s + 1))),
-            default=0),
+        freeze_through=_freeze_through(cfg.network.FIXED_PARAMS),
     )
     if "fpn" in cfg.symbol:
         from relation_tpu.models.fpn import RelationRCNNFPN
@@ -146,7 +156,8 @@ def make_optimizer(cfg, epoch_size: int, mask) -> optax.GradientTransformation:
     return tx
 
 
-def make_train_step(model: RelationRCNN, cfg, stop_after: str = "") -> Callable:
+def make_train_step(model: RelationRCNN, cfg, stop_after: str = "",
+                    fixed_prefixes=None, no_grad: bool = False) -> Callable:
     """Build the per-batch train step; feature-grid shapes are static per
     compilation from the traced batch (one compiled program per image bucket,
     the MutableModule-rebinding analogue — see experiments/train.py).
@@ -155,6 +166,13 @@ def make_train_step(model: RelationRCNN, cfg, stop_after: str = "") -> Callable:
     the per-image graph after the named stage ('rpn', 'anchor_targets',
     'proposals', 'sample', 'head') and train on the partial loss — the
     cumulative-cut methodology that found the FPN inference budget. '' = full.
+
+    ``fixed_prefixes`` overrides cfg.network.FIXED_PARAMS for the grad_req=
+    'null' stop-gradient set (benchmark cuts / the alternate workflow's
+    FIXED_PARAMS_SHARED, reference function/train_rcnn.py:119-123).
+
+    ``no_grad`` compiles the forward-only step (loss + metrics, params
+    untouched) — the benchmarking anchor for backward-pass cost.
     """
     stride = int(cfg.network.RPN_FEAT_STRIDE)
     base_anchors = generate_anchors(stride, tuple(cfg.network.ANCHOR_RATIOS),
@@ -177,6 +195,8 @@ def make_train_step(model: RelationRCNN, cfg, stop_after: str = "") -> Callable:
     is_fpn = isinstance(model, RelationRCNNFPN)
 
     pixel_means = tuple(float(m) for m in cfg.network.PIXEL_MEANS)
+    if fixed_prefixes is None:
+        fixed_prefixes = tuple(cfg.network.FIXED_PARAMS)
 
     def per_image(params, feat, rpn, im_info, gt_boxes, gt_valid, rng):
         """Everything after the (batched) conv trunk, for ONE image.
@@ -319,6 +339,17 @@ def make_train_step(model: RelationRCNN, cfg, stop_after: str = "") -> Callable:
         rngs = jax.random.split(step_rng, B)
 
         def loss_fn(params):
+            # reference grad_req='null' (core/module.py:753-773): frozen
+            # params are excluded from differentiation ENTIRELY, so XLA DCEs
+            # their weight-grad convs and every backward chain with no live
+            # trainable consumer below it. The optimizer's set_to_zero mask
+            # alone still paid the full backward first (and, with GRAD_CLIP,
+            # let frozen grads pollute the global norm). Numerics of the
+            # update are unchanged: these grads were already masked to zero.
+            mask = trainable_mask(params, fixed_prefixes)
+            params = jax.tree.map(
+                lambda p, t: p if t else jax.lax.stop_gradient(p),
+                params, mask)
             # uint8 loader batches (TPU.H2D_UINT8): exact on-device mean-sub
             # + pad-zeroing; no-op for f32 (dtype is static under jit)
             from relation_tpu.core.predictor import _image_from_u8
@@ -339,6 +370,9 @@ def make_train_step(model: RelationRCNN, cfg, stop_after: str = "") -> Callable:
                     batch["gt_valid"], rngs)
             return jnp.mean(totals), jax.tree.map(jnp.mean, metrics)
 
+        if no_grad:
+            _, metrics = loss_fn(state.params)
+            return state.replace(step=state.step + 1), metrics
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         return state.apply_gradients(grads), metrics
 

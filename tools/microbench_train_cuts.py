@@ -7,7 +7,23 @@ cumulative-cut methodology that found the FPN inference budget
 after a named stage (core/trainer.py make_train_step(stop_after=...)), so
 every measurement is the one production graph, never an isolated probe.
 
+--mode bwd: BACKWARD cumulative cuts. Every leg is the FULL train step; legs
+differ only in the grad_req='null' stop-gradient set (make_train_step
+fixed_prefixes), freezing the net bottom-up so each delta is one stage's
+whole backward (wgrad + every dgrad chain that exists only to feed it —
+XLA DCEs dead chains because frozen params are stop_gradient'd, trainer.py):
+  full       : production freeze (conv1+res2)
+  f_res3     : + res3        (delta = res3 backward)
+  f_res4     : + res4        (delta = res4 backward)
+  f_res5     : + res5        (delta = res5 backward)
+  f_rpn      : + rpn         (delta = rpn-head backward)
+  f_head     : + conv_new/fc_new/relation/cls/bbox (delta = roi-head backward)
+  f_all      : + nms_/learn-nms params (delta = learned-NMS backward)
+  fwd_only   : no value_and_grad at all (delta vs f_all = autodiff overhead
+               that survives full freezing + optimizer no-op update)
+
 Usage: python tools/microbench_train_cuts.py [--batch 1 4] [--cuts rpn ...]
+       python tools/microbench_train_cuts.py --mode bwd [--batch 1 4]
 """
 import argparse
 import os
@@ -23,11 +39,30 @@ sys.path.insert(0, "/root/repo")
 CUTS = ["rpn", "anchor_targets", "proposals", "sample", "head", ""]
 
 
+BWD_LEGS = [
+    ("full", ()),
+    ("f_res3", ("res3", "bn3")),
+    ("f_res4", ("res3", "bn3", "res4", "bn4")),
+    ("f_res5", ("res3", "bn3", "res4", "bn4", "res5", "bn5")),
+    ("f_rpn", ("res3", "bn3", "res4", "bn4", "res5", "bn5", "rpn")),
+    ("f_head", ("res3", "bn3", "res4", "bn4", "res5", "bn5", "rpn",
+                "conv_new_1", "fc_new", "cls_score", "bbox_pred", "relation",
+                "offset")),
+    ("f_all", ("",)),          # '' prefix-matches every param
+    ("fwd_only", None),        # no value_and_grad at all
+]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, nargs="+", default=[1, 4])
     ap.add_argument("--cuts", nargs="+", default=CUTS)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--mode", choices=["fwd", "bwd"], default="fwd",
+                    help="fwd: stop_after stage cuts; bwd: grad_req-null "
+                         "freeze cuts (see module docstring)")
+    ap.add_argument("--legs", nargs="+", default=None,
+                    help="bwd mode: subset of leg names to run")
     args = ap.parse_args()
     # compile cache OPT-IN (warm cache measured slower than cold through the
     # axon tunnel, BASELINE.md round 3); steady-state timings are unaffected
@@ -75,6 +110,36 @@ def main():
             "gt_valid": jnp.asarray(gv),
         }
         prev = 0.0
+        if args.mode == "bwd":
+            legs = [l for l in BWD_LEGS
+                    if args.legs is None or l[0] in args.legs]
+            base = tuple(cfg.network.FIXED_PARAMS)
+            for name, extra in legs:
+                if extra is None:
+                    step = make_train_step(model, cfg, no_grad=True)
+                else:
+                    step = make_train_step(model, cfg,
+                                           fixed_prefixes=base + extra)
+                jstep = jax.jit(step, donate_argnums=(0,))
+                cur, m = jstep(jax.device_put(host_state), batch)
+                np.asarray(m["total_loss"])
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for _ in range(args.steps):
+                        cur, m = jstep(cur, batch)
+                    float(np.asarray(m["total_loss"]))
+                    best = min(best,
+                               (time.perf_counter() - t0 - rt) / args.steps * 1e3)
+                results[(B, name)] = best
+                print(f"B={B} leg={name:<10} {best:8.2f} ms total "
+                      f"{best / B:7.2f} ms/img  (-{(prev - best) / B:6.2f}"
+                      f" ms/img vs prev)" if prev else
+                      f"B={B} leg={name:<10} {best:8.2f} ms total "
+                      f"{best / B:7.2f} ms/img", flush=True)
+                prev = best
+                del cur, m, jstep
+            continue
         for cut in args.cuts:
             step = make_train_step(model, cfg, stop_after=cut)
             jstep = jax.jit(step, donate_argnums=(0,))
@@ -96,7 +161,7 @@ def main():
             prev = best
             del cur, m, jstep
 
-    if len(args.batch) >= 2 and len(args.cuts) >= 2:
+    if args.mode == "fwd" and len(args.batch) >= 2 and len(args.cuts) >= 2:
         b0, b1 = args.batch[0], args.batch[-1]
         print(f"\nper-image stage deltas (B={b0} vs B={b1}):")
         prev0 = prev1 = 0.0
