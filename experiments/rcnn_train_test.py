@@ -36,6 +36,11 @@ def parse_args():
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--dataset-path", default="",
                    help="override cfg.dataset.dataset_path (COCO layout)")
+    p.add_argument("--train-shared", action="store_true",
+                   help="freeze the RPN-shared trunk during the RCNN stage "
+                        "via network.FIXED_PARAMS_SHARED (reference "
+                        "function/train_rcnn.py:119-123 train_shared=True; "
+                        "the classic alternating-training share step)")
     return p.parse_args()
 
 
@@ -166,10 +171,19 @@ def main():
             logger.info("roidb bbox stats: means=%s stds=%s"
                         % (np.round(bbox_means, 4), np.round(bbox_stds, 4)))
 
+    if args.train_shared:
+        # new optimizer whose freeze mask is FIXED_PARAMS_SHARED (the
+        # reference RCNN stage binds a fresh Module with fixed_param_prefix =
+        # FIXED_PARAMS_SHARED, function/train_rcnn.py:119-136)
+        from relation_tpu.core.trainer import refreeze_state
+        state = refreeze_state(state, cfg, cfg.network.FIXED_PARAMS_SHARED)
+        logger.info("stage 3 train_shared: frozen prefixes %s"
+                    % list(cfg.network.FIXED_PARAMS_SHARED))
     rcnn_step = jax.jit(make_train_step_rcnn(model, cfg, max_rois=R,
                                              max_gt=max_gt,
                                              bbox_means=bbox_means,
-                                             bbox_stds=bbox_stds))
+                                             bbox_stds=bbox_stds,
+                                             train_shared=args.train_shared))
 
     def rcnn_batch(i):
         """1-image batch paired with ITS cached proposals (scaled coords)."""

@@ -35,6 +35,19 @@ def parse_args():
                    help="override TEST.MERGE_METHOD (-1 mean, -2 max, >=0 index)")
     p.add_argument("--vis", action="store_true",
                    help="write detection renderings next to the cache")
+    p.add_argument("--shuffle", action="store_true",
+                   help="shuffle image order (reference test.py:43 — affects "
+                        "visualization sampling; mAP is order-invariant)")
+    p.add_argument("--debug", action="store_true",
+                   help="enable in-graph monitor taps on the predict path "
+                        "(reference test.py:43 --debug / operator_py/"
+                        "monitor_op.py); logs per-image tensor stats")
+    p.add_argument("--test-epoch", type=int, default=0,
+                   help="epoch checkpoint to evaluate (reference test.py:44): "
+                        "resolves output/<cfg>/<train set>/<model_prefix>-"
+                        "EEEE.params.msgpack; --ckpt wins when both are given; "
+                        "0 falls back to cfg.TEST.test_epoch when --ckpt is "
+                        "absent and that checkpoint exists")
     p.add_argument("--dataset-path", default="",
                    help="override cfg.dataset.dataset_path")
     p.add_argument("--tiny", action="store_true",
@@ -79,6 +92,22 @@ def main():
         cfg.TEST.NMS = args.nms
     if args.merge != -10:
         cfg.TEST.MERGE_METHOD = args.merge
+    if args.debug:
+        cfg.TPU.DEBUG_MONITOR = True
+    if not args.ckpt:
+        # reference --test_epoch convention (test.py:44,75): the checkpoint the
+        # train driver wrote for that epoch under the TRAIN image_set dir
+        epoch = args.test_epoch or int(cfg.TEST.test_epoch)
+        if epoch:
+            cfg_name_ = os.path.splitext(os.path.basename(args.cfg))[0]
+            prefix = os.path.join(cfg.output_path or "output", cfg_name_,
+                                  cfg.dataset.image_set,
+                                  cfg.TRAIN.model_prefix or "model")
+            cand = f"{prefix}-{epoch:04d}.params.msgpack"
+            if args.test_epoch and not os.path.exists(cand):
+                raise FileNotFoundError(f"--test-epoch {epoch}: {cand}")
+            if os.path.exists(cand):
+                args.ckpt = cand
     ckpt_blob = None
     if args.ckpt:
         # ONE deserialization of a (possibly multi-GB) checkpoint: the blob is
@@ -114,6 +143,11 @@ def main():
     img_root = os.path.join(cfg.dataset.dataset_path, "images", s)
     dataset = CocoDataset(ann, img_root)
     roidb = dataset.roidb()
+    if args.shuffle:
+        # reference TestLoader(shuffle=True) (function/test_rcnn.py:54):
+        # randomizes traversal (and thus which images --vis renders); the
+        # detections cache and COCO eval key on image id, so mAP is unchanged
+        np.random.shuffle(roidb)
 
     model = build_model(cfg, tiny=args.tiny)
     import jax.numpy as jnp

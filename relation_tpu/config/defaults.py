@@ -220,6 +220,19 @@ def default_config() -> AttrDict:
     # Global-norm gradient clipping (0 = off, reference behavior). Useful when
     # training from random init where the reference always starts pretrained.
     TPU.GRAD_CLIP = 0.0
+    # FPN learned-NMS inference as TWO device programs: module 1 = trunk +
+    # pyramid + proposals + head (XLA-only, keeps the stride-4/8 convs'
+    # space-to-batch rewrites), module 2 = learned-NMS tail with the fused
+    # Pallas geometry-bias/skip kernels (custom calls quarantined in their own
+    # XLA module, so they cannot poison module 1 — the round-3 verdict's
+    # untested escape from the 2.27 ms XLA-dense tail floor). Dispatch is
+    # async, so the second launch overlaps the first through the stream.
+    TPU.FPN_SPLIT_PREDICT = False
+    # In-graph monitor taps on the predict path (utils/debug.monitor — the
+    # reference's operator_py/monitor_op.py identity, enabled by test.py
+    # --debug). Logs shape + min/max/mean of rois, head scores and final
+    # detections as the compiled program executes.
+    TPU.DEBUG_MONITOR = False
 
     return config
 

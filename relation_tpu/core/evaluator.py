@@ -21,7 +21,7 @@ from relation_tpu.data.eval import CocoEvaluator, format_coco_summary
 def pred_eval(model, params, cfg, dataset, roidb, logger=None,
               cache_path: str | None = None, ignore_cache: bool = False,
               loader=None, proposal_file: str | None = None,
-              predict_fns: dict | None = None):
+              predict_fns: dict | None = None, mesh=None):
     """Returns (results dict, dets_per_image). roidb entries need image/image_id.
 
     With ``proposal_file`` the reference's TEST.HAS_RPN=false path runs instead:
@@ -30,7 +30,15 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
     ``predict_fns``: optional {feat_hw: jitted fn} cache shared across calls —
     pass the same dict to successive pred_eval calls (e.g. a warmup pass then
     the timed set) to reuse compiled programs (one ~20 s XLA compile per image
-    bucket otherwise repeats per call)."""
+    bucket otherwise repeats per call).
+
+    ``mesh``: a jax.sharding.Mesh with >1 devices switches to data-parallel
+    inference — images are grouped per bucket into batches of n_devices, one
+    image per device (core/predictor.make_predict_fn_sharded; the reference's
+    multi-GPU Predictor + _merge_multi_context batch-concat merge,
+    core/tester.py:27-40 / DataParallelExecutorGroup.py:47-60). A final
+    partial batch is padded by repetition and the pad outputs dropped;
+    detections are identical to the sequential path per image."""
     import jax.numpy as jnp
     from relation_tpu.data.loader import TestLoader, ProposalTestLoader
 
@@ -75,11 +83,49 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
             dets_per_image[image_id] = dets[dets[:, 0] >= 0]
             t_post += time.time() - t1
 
+        n_dev = len(mesh.devices.flat) if mesh is not None else 1
+        sharded = n_dev > 1 and not proposal_file
+        pending: dict[tuple, list] = {}
+        sharded_fns: dict[tuple, object] = {}
+
+        def flush_bucket(feat_hw, items):
+            """One data-parallel dispatch: n_dev images (padded by repeating
+            the last) -> [n_dev, max_det, 6]; pads dropped at enqueue."""
+            from relation_tpu.core.predictor import make_predict_fn_sharded
+            n_real = len(items)
+            while len(items) < n_dev:
+                items.append(items[-1])
+            if feat_hw not in sharded_fns:
+                sharded_fns[feat_hw] = make_predict_fn_sharded(
+                    model, cfg, feat_hw, mesh)
+            imgs = np.stack([it[1] for it in items])
+            infos = np.stack([np.asarray(it[2], np.float32) for it in items])
+            with mesh:
+                dets_b = sharded_fns[feat_hw](params, jnp.asarray(imgs),
+                                              jnp.asarray(infos))
+            if hasattr(dets_b, "copy_to_host_async"):
+                dets_b.copy_to_host_async()
+            for k in range(n_real):
+                window.append((items[k][0], dets_b[k]))
+            while len(window) >= depth:
+                drain(window.pop(0))
+
         t = time.time()
         for i, item in enumerate(loader):
             image_id, img, im_info = item[:3]
             t_data += time.time() - t
             t = time.time()
+            if sharded:
+                from relation_tpu.data.image import image_hw
+                ih, iw = image_hw(img)
+                feat_hw = (ih // int(cfg.network.RCNN_FEAT_STRIDE),
+                           iw // int(cfg.network.RCNN_FEAT_STRIDE))
+                pending.setdefault(feat_hw, []).append(item[:3])
+                if len(pending[feat_hw]) == n_dev:
+                    flush_bucket(feat_hw, pending.pop(feat_hw))
+                t_net += time.time() - t
+                t = time.time()
+                continue
             if proposal_file:
                 _, _, _, rois, rois_valid = item
                 out = predict_rcnn(params, jnp.asarray(img),
@@ -94,9 +140,27 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
                 feat_hw = (ih // int(cfg.network.RCNN_FEAT_STRIDE),
                            iw // int(cfg.network.RCNN_FEAT_STRIDE))
                 if feat_hw not in predict_fns:
-                    predict_fns[feat_hw] = make_predict_fn(model, cfg, feat_hw)
+                    from relation_tpu.models.fpn import RelationRCNNFPN
+                    if (bool(cfg.TPU.get("FPN_SPLIT_PREDICT", False))
+                            and isinstance(model, RelationRCNNFPN)
+                            and bool(cfg.TEST.LEARN_NMS)):
+                        from relation_tpu.core.predictor import (
+                            make_predict_fn_split)
+                        predict_fns[feat_hw] = make_predict_fn_split(
+                            model, cfg, feat_hw)
+                    else:
+                        predict_fns[feat_hw] = make_predict_fn(model, cfg,
+                                                               feat_hw)
                 out = predict_fns[feat_hw](params, jnp.asarray(img),
                                            jnp.asarray(im_info), res4_folded)
+            if "monitor" in out:
+                # --debug taps: fetch + log each tensor's [min, max, mean]
+                # (synchronous by design — debug mode trades throughput for
+                # visibility, like the reference's monitor callback)
+                for name, s in out["monitor"].items():
+                    s = np.asarray(s)
+                    log(f"[monitor] image {image_id} {name}: min={s[0]:.5f} "
+                        f"max={s[1]:.5f} mean={s[2]:.5f}")
             dev_dets = out["dets"]
             # start the D2H transfer NOW: a blocking fetch at drain time costs
             # a full host<->device round trip (~25 ms through this
@@ -113,6 +177,9 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
                 log(f"{n}/{len(loader)} data {t_data / n:.4f}s net {t_net / n:.4f}s "
                     f"fetch {t_fetch / n:.4f}s post {t_post / n:.4f}s")
             t = time.time()
+        for feat_hw, items in sorted(pending.items()):
+            if items:
+                flush_bucket(feat_hw, items)
         for entry in window:
             drain(entry)
         if cache_path:

@@ -136,8 +136,21 @@ def make_predict_fn(model: RelationRCNN, cfg, feat_hw: tuple[int, int]):
     is_fpn = isinstance(model, RelationRCNNFPN)
 
     pixel_means = tuple(float(m) for m in cfg.network.PIXEL_MEANS)
+    # test.py --debug: monitor taps (reference operator_py/monitor_op.py) on
+    # the predict path's key tensors. Stats ride the program OUTPUTS
+    # (out["monitor"]) rather than jax.debug.print — the axon PJRT tunnel
+    # rejects host send/recv callbacks; the evaluator logs the fetched triples
+    debug_mon = bool(cfg.TPU.get("DEBUG_MONITOR", False))
 
     def predict(params, image, im_info, res4_folded=None):
+        taps = {}
+
+        def _mon(x, name):
+            if debug_mon:
+                from relation_tpu.utils.debug import tensor_stats
+                taps[name] = tensor_stats(x)
+            return x
+
         image = _image_from_u8(image, im_info, pixel_means)
         if is_fpn:
             feat, rpn_out = model.apply(
@@ -162,8 +175,11 @@ def make_predict_fn(model: RelationRCNN, cfg, feat_hw: tuple[int, int]):
                 int(cfg.TEST.RPN_PRE_NMS_TOP_N), int(cfg.TEST.RPN_POST_NMS_TOP_N),
                 float(cfg.TEST.RPN_NMS_THRESH), float(cfg.TEST.RPN_MIN_SIZE))
 
+        rois = _mon(rois, "rois")
         cls_score, bbox_deltas, fc2 = model.apply(
             {"params": params}, feat, rois, nongt_dim, method=type(model).head)
+        cls_score = _mon(cls_score, "cls_score")
+        bbox_deltas = _mon(bbox_deltas, "bbox_deltas")
         out = {"rois": rois, "roi_scores": roi_scores}
 
         if learn_nms:
@@ -228,9 +244,121 @@ def make_predict_fn(model: RelationRCNN, cfg, feat_hw: tuple[int, int]):
                                         boxes_c.reshape(-1, 4),
                                         keep.reshape(-1), max_det)
             out.update(dets=dets, cls_prob=cls_prob, pred_boxes=boxes_all)
+        _mon(out["dets"], "dets")
+        if taps:
+            out["monitor"] = taps
         return out
 
     return jax.jit(predict)
+
+
+def make_predict_fn_split(model, cfg, feat_hw: tuple[int, int]):
+    """FPN learned-NMS inference as TWO device programs (cfg.TPU.
+    FPN_SPLIT_PREDICT): stage 1 — trunk + pyramid + proposals + head —
+    compiles XLA-only, so the stride-4/8 pyramid convs keep their
+    space-to-batch rewrites; stage 2 — the learned-NMS tail — runs with
+    ``allow_pallas=True`` (the fused Pallas geometry-bias + class-skip kernels
+    that make the C4 tail ~14 us/class), quarantined in its own XLA module
+    where the custom calls cannot poison stage 1 (poison scope:
+    ops/pallas/bottleneck_proj.py docstring; round-1 measurement +5.6 ms when
+    the kernels shared the pyramid's module).
+
+    Both dispatches are async through the queue, so the second launch costs
+    ~no wall time. Same call signature/result dict as make_predict_fn.
+    """
+    from relation_tpu.models.fpn import RelationRCNNFPN
+    assert isinstance(model, RelationRCNNFPN) and bool(cfg.TEST.LEARN_NMS), (
+        "FPN_SPLIT_PREDICT applies to the FPN learned-NMS predict path only")
+    max_det = int(cfg.TEST.max_per_image)
+    merge_method = int(cfg.TEST.MERGE_METHOD)
+    score_thresh = float(cfg.TEST.get("SCORE_THRESH", 1e-3))
+
+    # stage 1 reuses the single-module predict graph, stopped after the head
+    stage1_model = model
+    pixel_means = tuple(float(m) for m in cfg.network.PIXEL_MEANS)
+
+    from relation_tpu.models.fpn import fpn_anchors, generate_proposals_fpn, FPN_STRIDES
+
+    def stage1(params, image, im_info):
+        image = _image_from_u8(image, im_info, pixel_means)
+        feat, rpn_out = stage1_model.apply(
+            {"params": params}, image, method=RelationRCNNFPN.features_and_rpn)
+        level_anchors = fpn_anchors(
+            {s: rpn_out[s][0].shape[:2] for s in FPN_STRIDES},
+            tuple(cfg.network.ANCHOR_SCALES), tuple(cfg.network.ANCHOR_RATIOS))
+        rois, roi_scores, roi_real = generate_proposals_fpn(
+            rpn_out, level_anchors, im_info,
+            int(cfg.TEST.RPN_PRE_NMS_TOP_N), int(cfg.TEST.RPN_POST_NMS_TOP_N),
+            float(cfg.TEST.RPN_NMS_THRESH), float(cfg.TEST.RPN_MIN_SIZE),
+            topk=str(cfg.TPU.get("FPN_TOPK", "exact")))
+        cls_score, bbox_deltas, fc2 = stage1_model.apply(
+            {"params": params}, feat, rois, int(cfg.TEST.RPN_POST_NMS_TOP_N),
+            method=RelationRCNNFPN.head)
+        return rois, roi_scores, cls_score, bbox_deltas, fc2
+
+    # stage 2: the same params drive a Pallas-enabled clone (allow_pallas only
+    # switches compute paths; the parameter tree is identical)
+    tail_model = model.clone(allow_pallas=True)
+
+    def stage2(params, cls_score, bbox_deltas, rois, fc2, im_info):
+        ln = tail_model.apply(
+            {"params": params}, cls_score, bbox_deltas, rois, fc2, im_info,
+            float(cfg.TEST.LEARN_NMS_CLASS_SCORE_TH),
+            method=RelationRCNNFPN.learn_nms)
+        final = merge_multi_score(ln["nms_multi_score"], merge_method)
+        boxes = ln["sorted_bbox"] / im_info[2]
+        F, C = final.shape
+        cls_ids = jnp.broadcast_to(jnp.arange(1, C + 1)[None, :], (F, C))
+        valid = final > score_thresh
+        dets = _topk_detections(cls_ids.reshape(-1), final.reshape(-1),
+                                boxes.reshape(-1, 4), valid.reshape(-1),
+                                max_det)
+        return {"dets": dets, "sorted_bbox": ln["sorted_bbox"],
+                "sorted_score": ln["sorted_score"], "final_score": final}
+
+    jit1 = jax.jit(stage1)
+    jit2 = jax.jit(stage2)
+
+    def predict(params, image, im_info, res4_folded=None):
+        # res4_folded: C4-only knob, accepted for signature parity
+        rois, roi_scores, cls_score, bbox_deltas, fc2 = jit1(
+            params, image, im_info)
+        out = jit2(params, cls_score, bbox_deltas, rois, fc2,
+                   jnp.asarray(im_info))
+        out.update(rois=rois, roi_scores=roi_scores)
+        return out
+
+    return predict
+
+
+def make_predict_fn_sharded(model, cfg, feat_hw: tuple[int, int], mesh):
+    """Data-parallel inference over a jax.sharding.Mesh: n_devices images per
+    call, ONE per device — the reference's multi-GPU Predictor (one executor
+    per context, core/tester.py:27-40) with outputs merged by batch concat
+    (_merge_multi_context, core/DataParallelExecutorGroup.py:47-60).
+
+    shard_map keeps each device's block at batch 1, so every device runs the
+    UNMODIFIED single-image predict graph (Pallas stem kernel included — no
+    vmap lifting of kernels, which VMEM-OOMs; see core/trainer.py loss_fn).
+    No collectives are needed: detections concat along the sharded batch axis.
+
+    Returns fn(params, images [n, ...], im_infos [n, 3]) -> dets [n, max_det, 6].
+    Params may be host or replicated arrays; images/infos are sharded by jit
+    from the spec. Compile once per (bucket, mesh).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    predict = make_predict_fn(model, cfg, feat_hw)
+    axis = str(cfg.TPU.get("MESH_DATA_AXIS", "data"))
+
+    def per_device(params, img, info):
+        # block shapes carry a leading 1 (this device's shard of the batch)
+        return predict(params, img[0], info[0])["dets"][None]
+
+    f = jax.shard_map(per_device, mesh=mesh,
+                      in_specs=(P(), P(axis), P(axis)), out_specs=P(axis),
+                      check_vma=False)
+    return jax.jit(f)
 
 
 def make_predict_fn_rcnn(model, cfg):

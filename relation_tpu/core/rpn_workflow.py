@@ -261,12 +261,18 @@ def load_proposal_roidb(roidb, proposal_file: str, top_rois: int = -1) -> list:
 
 
 def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int,
-                         bbox_means=None, bbox_stds=None):
+                         bbox_means=None, bbox_stds=None,
+                         train_shared: bool = False):
     """Head-only train step on precomputed proposals (reference
     function/train_rcnn.py:32-183 semantics: sample_rois over cached rois, frozen
     shared trunk per FIXED_PARAMS_SHARED, no RPN loss). When TRAIN.LEARN_NMS the
     relation/learn-NMS branch trains too (the reference trains its best FPN
     numbers this way — train_rcnn.py builds the full *_learn_nms symbol).
+
+    ``train_shared`` switches the freeze set to network.FIXED_PARAMS_SHARED
+    (reference function/train_rcnn.py:119-123: the RCNN stage on a trunk shared
+    with an already-trained RPN freezes everything the RPN touched). The
+    matching optimizer mask comes from create_train_state(fixed_prefixes=...).
 
     ``bbox_means``/``bbox_stds`` override cfg.TRAIN.BBOX_MEANS/STDS — feed
     roidb-computed stats from :func:`add_bbox_regression_stats` when
@@ -300,6 +306,8 @@ def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int,
                        else cfg.TRAIN.BBOX_MEANS)
     bbox_stds = tuple(bbox_stds if bbox_stds is not None
                       else cfg.TRAIN.BBOX_STDS)
+    fixed_prefixes = tuple(cfg.network.FIXED_PARAMS_SHARED if train_shared
+                           else cfg.network.FIXED_PARAMS)
 
     pixel_means = tuple(float(m) for m in cfg.network.PIXEL_MEANS)
 
@@ -366,6 +374,15 @@ def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int,
         rngs = jax.random.split(step_rng, B)
 
         def loss_fn(params):
+            # grad_req='null' analogue (reference core/module.py:753-773):
+            # frozen params are stop_gradient'd so XLA DCEs their backward
+            # kernels; numerics are unchanged (the optimizer mask already
+            # zeroes those grads) — same policy as core/trainer.make_train_step
+            from relation_tpu.core.trainer import trainable_mask
+            mask = trainable_mask(params, fixed_prefixes)
+            params = jax.tree.map(
+                lambda p, t: p if t else jax.lax.stop_gradient(p),
+                params, mask)
             totals, metrics = jax.vmap(
                 per_image, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
                 params, batch["image"], batch["im_info"], batch["rois"],

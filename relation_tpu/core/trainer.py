@@ -381,7 +381,11 @@ def make_train_step(model: RelationRCNN, cfg, stop_after: str = "",
 
 def create_train_state(model: RelationRCNN, cfg, rng: jax.Array,
                        sample_image, sample_im_info,
-                       epoch_size: int = 1000) -> TrainState:
+                       epoch_size: int = 1000,
+                       fixed_prefixes=None) -> TrainState:
+    """``fixed_prefixes`` overrides cfg.network.FIXED_PARAMS for the optimizer
+    freeze mask (the alternate workflow's train_shared stage passes
+    FIXED_PARAMS_SHARED, reference function/train_rcnn.py:119-123)."""
     # Param shapes are independent of the ROI count; init with a small set that is
     # still >= first_n so the learned-NMS trace is well-formed.
     n_init = max(int(model.first_n) + 1, 8)
@@ -392,7 +396,21 @@ def create_train_state(model: RelationRCNN, cfg, rng: jax.Array,
     variables = jax.jit(model.init, static_argnums=(4,))(
         rng, sample_image, sample_rois_arr, sample_im_info, n_init)
     params = variables["params"]
-    mask = trainable_mask(params, cfg.network.FIXED_PARAMS)
+    if fixed_prefixes is None:
+        fixed_prefixes = cfg.network.FIXED_PARAMS
+    mask = trainable_mask(params, fixed_prefixes)
     tx = make_optimizer(cfg, epoch_size, mask)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=tx.init(params), rng=rng, tx=tx)
+
+
+def refreeze_state(state: TrainState, cfg, fixed_prefixes,
+                   epoch_size: int = 1000) -> TrainState:
+    """Fresh optimizer over the SAME params with a new freeze mask — the
+    per-stage optimizer re-init of the alternate workflow (each reference
+    stage calls module.fit with its own optimizer + fixed_param_prefix,
+    function/train_rcnn.py:119-136). Momentum restarts at zero, exactly like
+    the reference's new Module per stage."""
+    mask = trainable_mask(state.params, fixed_prefixes)
+    tx = make_optimizer(cfg, epoch_size, mask)
+    return state.replace(opt_state=tx.init(state.params), tx=tx)

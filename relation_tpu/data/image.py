@@ -78,8 +78,17 @@ def pick_bucket(h: int, w: int, buckets) -> tuple[int, int]:
 def pad_to_bucket(im: np.ndarray, bucket: tuple[int, int]) -> np.ndarray:
     bh, bw = bucket
     h, w = im.shape[:2]
+    if h > bh or w > bw:
+        # never crop silently: a SCALES/IMAGE_BUCKETS mismatch would truncate
+        # pixels while gt boxes keep pointing off-image. Unreachable with the
+        # default SCALES (600, 1000) vs the (1024, 1024) top bucket — reaching
+        # this means the config needs a bigger TPU.IMAGE_BUCKETS entry.
+        raise ValueError(
+            f"resized image ({h}x{w}) exceeds the largest image bucket "
+            f"({bh}x{bw}); extend cfg.TPU.IMAGE_BUCKETS to cover "
+            f"cfg.SCALES (a silent crop would corrupt detections/gt)")
     out = np.zeros((bh, bw) + im.shape[2:], dtype=im.dtype)
-    out[:h, :w] = im[:bh, :bw]
+    out[:h, :w] = im
     return out
 
 

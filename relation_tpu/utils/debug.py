@@ -15,7 +15,11 @@ import jax.numpy as jnp
 def monitor(x: jnp.ndarray, nickname: str = "tensor",
             stats: bool = True) -> jnp.ndarray:
     """Identity with runtime logging; safe under jit/vmap/grad (gradient passes
-    through untouched)."""
+    through untouched).
+
+    NOTE: jax.debug.print rides host send/recv callbacks, which the axon PJRT
+    tunnel rejects — on the TPU, use :func:`tensor_stats` taps fetched as
+    program OUTPUTS instead (core/predictor.make_predict_fn DEBUG_MONITOR)."""
     if stats:
         jax.debug.print(
             "[monitor] {n} shape={s} min={mn:.5f} max={mx:.5f} mean={me:.5f}",
@@ -25,3 +29,12 @@ def monitor(x: jnp.ndarray, nickname: str = "tensor",
     else:
         jax.debug.print("[monitor] {n} shape={s}", n=nickname, s=str(x.shape))
     return x
+
+
+def tensor_stats(x: jnp.ndarray) -> jnp.ndarray:
+    """[min, max, mean] of ``x`` as one f32 triple — the monitor tap in
+    fetchable-output form for backends without host callbacks (the axon PJRT
+    tunnel rejects debug.print/io_callback send/recv; reference
+    operator_py/monitor_op.py prints the same summary host-side)."""
+    xf = x.astype(jnp.float32)
+    return jnp.stack([jnp.min(xf), jnp.max(xf), jnp.mean(xf)])

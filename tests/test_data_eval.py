@@ -115,6 +115,19 @@ def test_image_pipeline(rng):
     assert abs(b[0, 0] - (320 - 100 - 1) * info[2]) < 1e-3
 
 
+def test_pad_to_bucket_rejects_oversize(rng):
+    """An image larger than the largest bucket must hard-error, never crop
+    (a crop would silently truncate pixels while gt boxes keep pointing
+    off-image)."""
+    im = rng.randint(0, 255, (100, 100, 3)).astype(np.uint8)
+    with pytest.raises(ValueError, match="exceeds the largest image bucket"):
+        pad_to_bucket(im, (96, 96))
+    with pytest.raises(ValueError, match="exceeds"):
+        # SCALES bigger than every bucket: prepare_image must refuse too
+        prepare_image(im.astype(np.float32), 600, 1000, (0, 0, 0),
+                      [(64, 96), (96, 96)])
+
+
 def test_train_loader_batches(coco_json, rng):
     cfg = default_config()
     cfg.SCALES = [(60, 100)]

@@ -69,3 +69,27 @@ def test_fpn_train_and_predict(rng):
     predict = make_predict_fn(model, cfg, feat_hw=(4, 4))
     out = predict(state2.params, batch["image"][0], batch["im_info"][0])
     assert np.asarray(out["dets"]).shape == (10, 6)
+
+
+def test_fpn_split_predict_matches_single_module(rng):
+    """TPU.FPN_SPLIT_PREDICT two-dispatch inference (XLA-only stage 1 |
+    Pallas-tail stage 2) returns the same detections as the single-module
+    predict. Boxes/classes must match exactly; scores to float tolerance
+    (the Pallas geometry-bias tail tiles its einsums differently)."""
+    from relation_tpu.core.predictor import make_predict_fn_split
+    cfg = fpn_tiny_cfg()
+    model = build_model(cfg, tiny=True)
+    img = jnp.asarray((rng.randn(64, 64, 3) * 40).astype(np.float32))
+    rois0 = jnp.tile(jnp.asarray([[0.0, 0.0, 16.0, 16.0]]), (9, 1))
+    im_info = jnp.asarray([64.0, 64.0, 1.0])
+    params = model.init(jax.random.PRNGKey(0), img, rois0, im_info, 9)["params"]
+
+    ref = make_predict_fn(model, cfg, feat_hw=(4, 4))(params, img, im_info)
+    got = make_predict_fn_split(model, cfg, feat_hw=(4, 4))(params, img,
+                                                            im_info)
+    d_ref, d_got = np.asarray(ref["dets"]), np.asarray(got["dets"])
+    np.testing.assert_array_equal(d_got[:, 0], d_ref[:, 0])      # class ids
+    np.testing.assert_allclose(d_got[:, 1], d_ref[:, 1], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(d_got[:, 2:], d_ref[:, 2:], rtol=1e-4,
+                               atol=1e-4)
+    assert (d_ref[:, 0] >= 0).any()

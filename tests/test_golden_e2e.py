@@ -54,6 +54,22 @@ _SYMBOLS = {
         "resnet_v1_101_dcn_attention_1024_pairwise_position_multi_head_16_learn_nms",
     "fpn_learn_nms":
         "resnet_v1_101_fpn_attention_1024_pairwise_position_multi_head_16_learn_nms",
+    # relation-only heads: attention module in the 2FC head, classic NMS tail
+    # (reference symbols/resnet_v1_101_rcnn_attention_1024_pairwise_position_
+    # multi_head_16.py + dcn/fpn siblings)
+    "plain_relation":
+        "resnet_v1_101_rcnn_attention_1024_pairwise_position_multi_head_16",
+    "dcn_relation":
+        "resnet_v1_101_rcnn_dcn_attention_1024_pairwise_position_multi_head_16",
+    "fpn_relation":
+        "resnet_v1_101_rcnn_fpn_attention_1024_pairwise_position_multi_head_16",
+    # learn-NMS-only: plain 2FC head (no relation module) + learned-NMS tail
+    # on a frozen trunk (reference symbols/resnet_v1_101_rcnn_learn_nms_1024_
+    # attention_1024_pairwise_position_multi_head_16.py; freeze set per
+    # cfgs/..._rcnn_end2end_learn_nms_3epoch.yaml FIXED_PARAMS)
+    "learn_nms_only":
+        "resnet_v1_101_rcnn_learn_nms_1024_attention_1024_pairwise_position_"
+        "multi_head_16",
 }
 FAMILIES = sorted(_SYMBOLS)
 
@@ -62,9 +78,14 @@ def family_cfg(family: str):
     from tests.test_train_predict import tiny_cfg
     cfg = tiny_cfg()
     cfg.symbol = _SYMBOLS[family]
-    learn = family.endswith("learn_nms")
+    learn = family.endswith("learn_nms") or family == "learn_nms_only"
     cfg.TRAIN.LEARN_NMS = learn
     cfg.TEST.LEARN_NMS = learn
+    if family == "learn_nms_only":
+        # frozen-trunk freeze set of the 3epoch yaml (everything except the
+        # learned-NMS branch; the tiny trunk's analogue of conv1/res*/rpn/...)
+        cfg.network.FIXED_PARAMS = ["tiny", "rpn", "conv_new_1", "fc_new",
+                                    "cls_score", "bbox_pred", "gamma", "beta"]
     return cfg
 
 
@@ -168,6 +189,22 @@ def test_golden_dcn_learn_nms():
 
 def test_golden_fpn_learn_nms():
     _check_family("fpn_learn_nms")
+
+
+def test_golden_plain_relation():
+    _check_family("plain_relation")
+
+
+def test_golden_dcn_relation():
+    _check_family("dcn_relation")
+
+
+def test_golden_fpn_relation():
+    _check_family("fpn_relation")
+
+
+def test_golden_learn_nms_only():
+    _check_family("learn_nms_only")
 
 
 if __name__ == "__main__":

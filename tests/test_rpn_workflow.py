@@ -208,6 +208,96 @@ def test_rcnn_train_step_custom_bbox_stats(rng):
     assert np.isfinite(float(m["total_loss"]))
 
 
+def test_rcnn_train_step_sharded_dp_parity(rng):
+    """8-device DP parity for the cached-proposal trainer (the same proof as
+    test_train_predict.py::test_train_step_sharded_dp_parity, for the
+    reference's function/train_rcnn.py stage)."""
+    from relation_tpu.parallel.mesh import make_mesh, shard_batch, replicated
+    from tests.test_train_predict import assert_tree_allclose
+    cfg = tiny_cfg()
+    cfg.TRAIN.LEARN_NMS = False
+    cfg.TEST.LEARN_NMS = False
+    cfg.TRAIN.ENABLE_OHEM = False
+    cfg.TRAIN.BATCH_ROIS = 16
+    cfg.symbol = "resnet_v1_101_rcnn"
+    model = build_model(cfg, tiny=True)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               jnp.zeros((64, 64, 3)),
+                               jnp.asarray([64.0, 64.0, 1.0]))
+    R, G, B = 16, 4, 8
+    step = make_train_step_rcnn(model, cfg, max_rois=R, max_gt=G)
+    x1 = rng.uniform(0, 30, (B, R)); y1 = rng.uniform(0, 30, (B, R))
+    rois = np.stack([x1, y1, x1 + rng.uniform(8, 30, (B, R)),
+                     y1 + rng.uniform(8, 30, (B, R))], -1).astype(np.float32)
+    gt = np.zeros((B, G, 5), np.float32)
+    gt[:, 0] = [10, 10, 30, 30, 1]
+    gt[:, 1] = [25, 30, 55, 60, 2]
+    gv = np.zeros((B, G), bool); gv[:, :2] = True
+    host_batch = {"image": rng.randn(B, 64, 64, 3).astype(np.float32),
+                  "im_info": np.tile([[64, 64, 1.0]], (B, 1)).astype(np.float32),
+                  "rois": rois, "rois_valid": np.ones((B, R), bool),
+                  "gt_boxes": gt, "gt_valid": gv}
+
+    ref_state, ref_metrics = jax.jit(step)(
+        state, jax.tree.map(jnp.asarray, host_batch))
+    ref_metrics = jax.tree.map(float, ref_metrics)
+    assert np.isfinite(ref_metrics["total_loss"])
+
+    mesh = make_mesh(n_data=8)
+    sstate = jax.device_put(state, replicated(mesh))
+    with mesh:
+        state2, metrics = jax.jit(step)(sstate, shard_batch(mesh, host_batch))
+    assert len(jax.tree.leaves(state2.params)[0].sharding.device_set) == 8
+    assert_tree_allclose(jax.tree.map(np.asarray, ref_state.params),
+                         jax.tree.map(np.asarray, state2.params),
+                         rtol=1e-4, atol=1e-6, what="params")
+    for k, v in jax.tree.map(float, metrics).items():
+        np.testing.assert_allclose(v, ref_metrics[k], rtol=1e-4, atol=1e-6,
+                                   err_msg=f"metric {k}")
+
+
+def test_rcnn_train_step_train_shared_freeze(rng):
+    """train_shared=True freezes the RPN-shared trunk via FIXED_PARAMS_SHARED
+    (reference function/train_rcnn.py:119-123): trunk params must be
+    bit-unchanged after a step while head params move."""
+    from relation_tpu.core.trainer import refreeze_state, trainable_mask
+    cfg = tiny_cfg()
+    cfg.TRAIN.LEARN_NMS = False
+    cfg.TEST.LEARN_NMS = False
+    cfg.TRAIN.ENABLE_OHEM = False
+    cfg.TRAIN.BATCH_ROIS = 16
+    cfg.symbol = "resnet_v1_101_rcnn"
+    cfg.network.FIXED_PARAMS_SHARED = ["tiny", "rpn", "gamma", "beta"]
+    model = build_model(cfg, tiny=True)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               jnp.zeros((64, 64, 3)),
+                               jnp.asarray([64.0, 64.0, 1.0]))
+    state = refreeze_state(state, cfg, cfg.network.FIXED_PARAMS_SHARED)
+    R, G = 16, 4
+    step = make_train_step_rcnn(model, cfg, max_rois=R, max_gt=G,
+                                train_shared=True)
+    x1 = rng.uniform(0, 30, (1, R)); y1 = rng.uniform(0, 30, (1, R))
+    rois = np.stack([x1, y1, x1 + rng.uniform(8, 30, (1, R)),
+                     y1 + rng.uniform(8, 30, (1, R))], -1).astype(np.float32)
+    gt = np.zeros((1, G, 5), np.float32)
+    gt[:, 0] = [10, 10, 30, 30, 1]
+    gv = np.zeros((1, G), bool); gv[:, 0] = True
+    batch = {"image": rng.randn(1, 64, 64, 3).astype(np.float32),
+             "im_info": np.asarray([[64, 64, 1.0]], np.float32),
+             "rois": rois, "rois_valid": np.ones((1, R), bool),
+             "gt_boxes": gt, "gt_valid": gv}
+    p0 = jax.tree.map(np.asarray, state.params)
+    state2, m = jax.jit(step)(state, jax.tree.map(jnp.asarray, batch))
+    assert np.isfinite(float(m["total_loss"]))
+    p1 = jax.tree.map(np.asarray, state2.params)
+    mask = trainable_mask(state.params, cfg.network.FIXED_PARAMS_SHARED)
+    moved, frozen_same = [], []
+    jax.tree.map(lambda t, a, b: (moved if t else frozen_same).append(
+        np.any(a != b) if t else np.array_equal(a, b)), mask, p0, p1)
+    assert any(moved), "no head param moved under train_shared"
+    assert all(frozen_same), "a FIXED_PARAMS_SHARED param moved"
+
+
 def test_add_bbox_regression_stats_oracle():
     """Class-agnostic stats equal a direct mean/std of the candidate targets
     (reference add_bbox_regression_targets, bbox_regression.py:82-100)."""

@@ -101,7 +101,26 @@ def test_train_step_and_predict(rng):
     assert np.all(np.diff(dets[real, 1]) <= 1e-6)
 
 
-def test_train_step_sharded_dp(rng):
+def assert_tree_allclose(a, b, rtol, atol, what=""):
+    """Leaf-wise allclose over two pytrees with path-labelled failures."""
+    from flax.traverse_util import flatten_dict
+    fa, fb = flatten_dict(a), flatten_dict(b)
+    assert fa.keys() == fb.keys()
+    for path in fa:
+        np.testing.assert_allclose(
+            np.asarray(fa[path]), np.asarray(fb[path]), rtol=rtol, atol=atol,
+            err_msg=f"{what} mismatch at {'/'.join(map(str, path))}")
+
+
+def test_train_step_sharded_dp_parity(rng):
+    """8-device data-parallel step == 1-device step on the SAME global batch.
+
+    The numerical proof the reference's DP semantics demand (per-device grads
+    summed by kvstore 'device' + rescale_grad=1/batch, reference
+    core/module.py:473-518,479): updated params and metrics must match the
+    unsharded run up to all-reduce reduction order. A wrong mean axis, a
+    per-device-only mean, or a dropped psum shows up as an O(1) error here.
+    """
     cfg = tiny_cfg()
     cfg.TRAIN.ENABLE_OHEM = False
     model = build_model(cfg, tiny=True)
@@ -111,15 +130,34 @@ def test_train_step_sharded_dp(rng):
                                jnp.zeros((64, 64, 3)),
                                jnp.asarray([64.0, 64.0, 1.0]))
     step = make_train_step(model, cfg)
+    host_batch = make_batch(rng, B=8)
 
-    batch = shard_batch(mesh, make_batch(rng, B=8))
-    state = jax.device_put(state, replicated(mesh))
+    # (a) single-device reference run on the full global batch
+    ref_state, ref_metrics = jax.jit(step)(
+        state, jax.tree.map(jnp.asarray, host_batch))
+    ref_params = jax.tree.map(np.asarray, ref_state.params)
+    ref_metrics = jax.tree.map(float, ref_metrics)
+    assert np.isfinite(ref_metrics["total_loss"])
+
+    # (b) the same step, batch sharded over 8 devices, params replicated
+    batch = shard_batch(mesh, host_batch)
+    sstate = jax.device_put(state, replicated(mesh))
     with mesh:
-        state2, metrics = jax.jit(step)(state, batch)
-    assert np.isfinite(float(metrics["total_loss"]))
+        state2, metrics = jax.jit(step)(sstate, batch)
     # gradients were all-reduced: params identical on all devices (replicated)
     leaf = jax.tree.leaves(state2.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+    # tolerance covers reduction order only (f32 tiny model)
+    assert_tree_allclose(ref_params, jax.tree.map(np.asarray, state2.params),
+                         rtol=1e-4, atol=1e-6, what="params")
+    for k, v in jax.tree.map(float, metrics).items():
+        np.testing.assert_allclose(v, ref_metrics[k], rtol=1e-4, atol=1e-6,
+                                   err_msg=f"metric {k}")
+    # and the update actually moved something (guards a vacuous pass)
+    moved = jax.tree.map(lambda a, b: np.any(np.asarray(a) != np.asarray(b)),
+                         state.params, state2.params)
+    assert any(jax.tree.leaves(moved))
 
 
 def test_classic_predict_softnms(rng):
@@ -137,3 +175,55 @@ def test_classic_predict_softnms(rng):
     predict = make_predict_fn(model, cfg, feat_hw=(4, 4))
     out = predict(params, img, jnp.asarray([64.0, 64.0, 1.0]))
     assert np.asarray(out["dets"]).shape == (10, 6)
+
+
+def test_pred_eval_sharded_matches_sequential(rng, tmp_path):
+    """Data-parallel evaluation (one image per device over the 8-CPU mesh)
+    yields detections identical to the sequential per-image path — the
+    reference's multi-GPU Predictor + _merge_multi_context merge
+    (core/tester.py:27-40, DataParallelExecutorGroup.py:47-60). Mixed buckets
+    and a partial final batch (4+2 images over 8 devices) are exercised."""
+    import json
+    from relation_tpu.core.evaluator import pred_eval
+    from relation_tpu.data.coco import CocoDataset
+
+    cfg = tiny_cfg()
+    model = build_model(cfg, tiny=True)
+    img0 = jnp.asarray(rng.randn(64, 64, 3).astype(np.float32))
+    sample_rois = jnp.zeros((9, 4)) + jnp.asarray([0, 0, 16, 16.0])
+    params = model.init(jax.random.PRNGKey(0), img0, sample_rois,
+                        jnp.asarray([64.0, 64.0, 1.0]), 9)["params"]
+
+    # minimal COCO dataset (ids only; images come from the fake loader)
+    images = [{"id": i + 1, "file_name": f"im{i}.jpg",
+               "height": 64, "width": 64} for i in range(6)]
+    anns = [{"id": i + 1, "image_id": i + 1, "category_id": 1,
+             "bbox": [8.0, 8.0, 20.0, 20.0], "area": 400.0, "iscrowd": 0}
+            for i in range(6)]
+    p = tmp_path / "ann.json"
+    p.write_text(json.dumps({"images": images, "annotations": anns,
+                             "categories": [{"id": 1, "name": "thing"}]}))
+    ds = CocoDataset(str(p))
+
+    # two buckets: 4 images at 64x64, 2 at 48x64 (both partial vs n_dev=8)
+    items = []
+    for i in range(6):
+        h = 64 if i < 4 else 48
+        img = rng.randn(h, 64, 3).astype(np.float32)
+        items.append((i + 1, img, np.asarray([h, 64, 1.0], np.float32)))
+
+    class L:
+        def __iter__(self):
+            return iter(items)
+
+        def __len__(self):
+            return len(items)
+
+    _, seq = pred_eval(model, params, cfg, ds, None, loader=L())
+    mesh = make_mesh(n_data=8)
+    _, par = pred_eval(model, params, cfg, ds, None, loader=L(), mesh=mesh)
+    assert set(seq) == set(par) == {1, 2, 3, 4, 5, 6}
+    for k in seq:
+        np.testing.assert_array_equal(
+            par[k], seq[k], err_msg=f"image {k}: sharded != sequential")
+    assert any(len(v) for v in seq.values())

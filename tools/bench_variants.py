@@ -46,6 +46,41 @@ def measure(fn, params, image, im_info, n=100, k=3):
     return best / n * 1e3
 
 
+def measure_dispatch_chain(predict, params, image, im_info, n=100, k=3):
+    """Timing for MULTI-dispatch predict fns (TPU.FPN_SPLIT_PREDICT): the
+    lax.scan chain can't span two jitted programs, so chain n iterations by
+    dispatching asynchronously with a device-side data dependency (a tiny
+    jitted glue op feeds |dets[0,1]|*1e-30 back into the next image) and fetch
+    once at the end. Dispatch is async through the tunnel, so host dispatch
+    overhead overlaps device compute exactly as in production pred_eval."""
+    import jax
+    import jax.numpy as jnp
+
+    glue = jax.jit(lambda img, dets: img + jnp.abs(dets[0, 1]) * 1e-30)
+
+    def chain(img):
+        out = None
+        for _ in range(n):
+            out = predict(params, img, im_info)
+            img = glue(img, out["dets"])
+        return out["dets"]
+
+    _ = np.asarray(chain(image))          # compiles all modules
+    g = jax.jit(lambda a: a + 1)
+    _ = np.asarray(g(jnp.zeros(())))
+    rt = min(_t(lambda: np.asarray(g(jnp.zeros(())))) for _ in range(5))
+    best = float("inf")
+    for _ in range(k):
+        best = min(best, _t(lambda: np.asarray(chain(image))) - rt)
+    return best / n * 1e3
+
+
+def _t(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def build(symbol, learn_nms=True, softnms=False, **model_overrides):
     import jax
     import jax.numpy as jnp
@@ -110,11 +145,55 @@ def main():
          "resnet_v1_101_rcnn_attention_1024_pairwise_position_multi_head_16_learn_nms",
          True, False, 0.175),
     ]
+    variants += [
+        # two-dispatch FPN predict (TPU.FPN_SPLIT_PREDICT): XLA-only module 1,
+        # Pallas learned-NMS tail in its own module 2 (the round-3 verdict's
+        # proposed escape from the 2.27 ms XLA-dense tail floor). Measured
+        # with the dispatch-chain harness (two programs can't share a scan).
+        ("fpn_split_learn_nms",
+         "resnet_v1_101_rcnn_fpn_attention_1024_pairwise_position_multi_head_16_learn_nms",
+         True, False, 0.232),
+        ("fpn_split_learn_nms_active16",
+         "resnet_v1_101_rcnn_fpn_attention_1024_pairwise_position_multi_head_16_learn_nms",
+         True, False, 0.232),
+    ]
     want = [a for a in sys.argv[1:] if not a.startswith("-")]
     for label, symbol, ln, sn, ref_s in variants:
         if want and not any(w in label for w in want):
             continue
         try:
+            if label.startswith("fpn_split"):
+                import jax
+                from __graft_entry__ import _flagship_cfg
+                from relation_tpu.core.trainer import build_model
+                from relation_tpu.core.predictor import make_predict_fn_split
+                cfg = _flagship_cfg()
+                cfg.symbol = symbol
+                cfg.TRAIN.LEARN_NMS = cfg.TEST.LEARN_NMS = True
+                cfg.network.RPN_FEAT_STRIDE = 16
+                model = build_model(cfg)
+                H, W = 608, 1024
+                n0 = int(cfg.TEST.FIRST_N) + 1
+                rois0 = jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (n0, 1))
+                im_info = jnp.asarray([600.0, 1000.0, 1.667], jnp.float32)
+                image = jnp.zeros((12, H // 2, W // 2), jnp.float32)
+                params = model.init(jax.random.PRNGKey(0), image, rois0,
+                                    im_info, n0)["params"]
+                if label.endswith("_active16"):
+                    b = np.zeros(81, np.float32)
+                    b[1:] = -9.0
+                    b[rng.choice(80, 16, replace=False) + 1] = 0.0
+                    params = dict(params)
+                    params["cls_score"] = dict(params["cls_score"],
+                                               bias=jnp.asarray(b))
+                predict = make_predict_fn_split(model, cfg, (H // 16, W // 16))
+                img = jnp.asarray(rng.randn(*image.shape).astype(np.float32) * 40)
+                ms = measure_dispatch_chain(predict, params, img, im_info)
+                print(json.dumps({"variant": label, "value": round(ms, 3),
+                                  "unit": "ms/image",
+                                  "vs_baseline": round(ref_s * 1e3 / ms, 1)}),
+                      flush=True)
+                continue
             fn, params, image, im_info = build(symbol, ln, softnms=sn)
             if label.endswith("_active16"):
                 b = np.zeros(81, np.float32)
