@@ -227,7 +227,10 @@ def default_config() -> AttrDict:
     # XLA module, so they cannot poison module 1 — the round-3 verdict's
     # untested escape from the 2.27 ms XLA-dense tail floor). Dispatch is
     # async, so the second launch overlaps the first through the stream.
-    TPU.FPN_SPLIT_PREDICT = False
+    # Measured (tools/bench_variants.py fpn_split, round 4): dense worst case
+    # 6.89 ms/image vs 7.67 single-module, 16 active classes 6.23 vs 6.31 —
+    # never worse, so on by default.
+    TPU.FPN_SPLIT_PREDICT = True
     # In-graph monitor taps on the predict path (utils/debug.monitor — the
     # reference's operator_py/monitor_op.py identity, enabled by test.py
     # --debug). Logs shape + min/max/mean of rois, head scores and final

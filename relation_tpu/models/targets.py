@@ -105,7 +105,14 @@ def anchor_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
                         num_bg_cap, rpn_batch_size)
     label = jnp.where(bg_mask & ~bg_keep, -1, label)
 
-    target = bbox_transform(anchors, gt_boxes[argmax_overlaps, :4])
+    # gt_boxes[argmax_overlaps, :4] as a one-hot matmul: the [K]-row dynamic
+    # gather from the tiny [G, 4] table was 646 us of the op's 790 us on the
+    # TPU (tools/microbench_anchor_targets.py --cuts); onehot [K, G] @ [G, 4]
+    # is exact (rows of 1.0*x) and rides the MXU in ~tens of us
+    onehot = (argmax_overlaps[:, None] ==
+              jnp.arange(gt_boxes.shape[0])[None, :]).astype(jnp.float32)
+    matched_gt = onehot @ gt_boxes[:, :4]
+    target = bbox_transform(anchors, matched_gt)
     target = jnp.where((num_gt > 0) & (label[:, None] == 1), target, 0.0)
     weight = jnp.where(label[:, None] == 1,
                        jnp.asarray(bbox_weights, dtype=jnp.float32)[None, :], 0.0)
