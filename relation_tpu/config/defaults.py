@@ -231,6 +231,17 @@ def default_config() -> AttrDict:
     # 6.89 ms/image vs 7.67 single-module, 16 active classes 6.23 vs 6.31 —
     # never worse, so on by default.
     TPU.FPN_SPLIT_PREDICT = True
+    # jax.checkpoint around the learned-NMS TRAIN branch (fwd recompute in the
+    # backward instead of saved residuals). Off by default; kept as an A/B
+    # lever for tools/microbench_train_cuts.py.
+    TPU.LNMS_REMAT = False
+    # Fire every bucket's first-call XLA compile from parallel threads at
+    # pred_eval start (core/evaluator.prewarm_buckets). XLA compilation is
+    # mostly off-GIL, so the ~25-40 s/bucket tunnel compiles overlap: measured
+    # 77.7 s serial -> 45.6 s threaded for the 3 production buckets
+    # (tools/bench_prewarm.py, round 4). Skipped automatically for small sets
+    # (< 8 images/bucket) where lazy per-bucket compiles can be fewer.
+    TPU.PREWARM_BUCKETS = True
     # In-graph monitor taps on the predict path (utils/debug.monitor — the
     # reference's operator_py/monitor_op.py identity, enabled by test.py
     # --debug). Logs shape + min/max/mean of rois, head scores and final

@@ -18,6 +18,71 @@ from relation_tpu.core.predictor import make_predict_fn, prepare_res4_folded
 from relation_tpu.data.eval import CocoEvaluator, format_coco_summary
 
 
+def _build_predict_fn(model, cfg, feat_hw):
+    """The per-bucket predict program pred_eval compiles on first sight of a
+    bucket: the two-dispatch split module for the FPN learned-NMS family
+    (TPU.FPN_SPLIT_PREDICT), the single fused module otherwise."""
+    from relation_tpu.models.fpn import RelationRCNNFPN
+    if (bool(cfg.TPU.get("FPN_SPLIT_PREDICT", False))
+            and isinstance(model, RelationRCNNFPN)
+            and bool(cfg.TEST.LEARN_NMS)):
+        from relation_tpu.core.predictor import make_predict_fn_split
+        return make_predict_fn_split(model, cfg, feat_hw)
+    return make_predict_fn(model, cfg, feat_hw)
+
+
+def prewarm_buckets(model, params, cfg, predict_fns, res4_folded=None,
+                    logger=None, block=False):
+    """Fire every bucket's first-call XLA compile from parallel threads.
+
+    The reference pays ~nothing at startup (MutableModule rebinds executors,
+    core/module.py:1041-1074); the static-bucket design here pays one XLA
+    compile per image bucket, and through this environment's tunnel those are
+    ~25-40 s EACH and the persistent compile cache does not help
+    (tools/bench_multibucket.py). Compilation is mostly off-GIL (XLA C++), so
+    three threads overlap it: measured 77.7 s serial -> 45.6 s threaded
+    (1.70x, tools/bench_prewarm.py). The threads populate the SAME
+    ``predict_fns`` jit cache pred_eval uses; the eval loop may start
+    immediately — a real image landing on a still-compiling bucket simply
+    blocks on that fn's trace lock instead of starting a serial compile.
+    """
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    log = logger.info if logger else print
+    stride = int(cfg.network.RCNN_FEAT_STRIDE)
+    u8 = bool(cfg.TPU.get("H2D_UINT8", True))
+    s2d = bool(cfg.TPU.get("S2D_INPUT", True))
+
+    def warm_one(hw):
+        H, W = int(hw[0]), int(hw[1])
+        feat_hw = (H // stride, W // stride)
+        fn = predict_fns.setdefault(feat_hw,
+                                    _build_predict_fn(model, cfg, feat_hw))
+        dtype = jnp.uint8 if u8 else jnp.float32
+        img = (jnp.zeros((12, H // 2, W // 2), dtype) if s2d
+               else jnp.zeros((H, W, 3), dtype))
+        try:
+            out = fn(params, img, jnp.asarray([float(H), float(W), 1.0]),
+                     res4_folded)
+            jax.block_until_ready(out["dets"])
+        except Exception as e:  # surface on the real image instead
+            log(f"prewarm bucket {hw} failed: {e!r}")
+
+    threads = [threading.Thread(target=warm_one, args=(tuple(b),), daemon=True)
+               for b in cfg.TPU.IMAGE_BUCKETS]
+    t0 = time.time()
+    for th in threads:
+        th.start()
+    if block:
+        for th in threads:
+            th.join()
+        log(f"prewarmed {len(threads)} buckets in {time.time() - t0:.1f}s")
+    return threads
+
+
 def pred_eval(model, params, cfg, dataset, roidb, logger=None,
               cache_path: str | None = None, ignore_cache: bool = False,
               loader=None, proposal_file: str | None = None,
@@ -88,6 +153,16 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
         pending: dict[tuple, list] = {}
         sharded_fns: dict[tuple, object] = {}
 
+        # overlap the per-bucket XLA compiles (each ~25-40 s through the
+        # tunnel) instead of paying them serially as buckets first appear;
+        # only worth it when the set is large enough to hit every bucket
+        if (not sharded and not proposal_file and roidb is not None
+                and bool(cfg.TPU.get("PREWARM_BUCKETS", True))
+                and len(roidb) >= 8 * len(cfg.TPU.IMAGE_BUCKETS)
+                and len(cfg.TPU.IMAGE_BUCKETS) > 1):
+            prewarm_buckets(model, params, cfg, predict_fns,
+                            res4_folded=res4_folded, logger=logger)
+
         def flush_bucket(feat_hw, items):
             """One data-parallel dispatch: n_dev images (padded by repeating
             the last) -> [n_dev, max_det, 6]; pads dropped at enqueue."""
@@ -140,17 +215,8 @@ def pred_eval(model, params, cfg, dataset, roidb, logger=None,
                 feat_hw = (ih // int(cfg.network.RCNN_FEAT_STRIDE),
                            iw // int(cfg.network.RCNN_FEAT_STRIDE))
                 if feat_hw not in predict_fns:
-                    from relation_tpu.models.fpn import RelationRCNNFPN
-                    if (bool(cfg.TPU.get("FPN_SPLIT_PREDICT", False))
-                            and isinstance(model, RelationRCNNFPN)
-                            and bool(cfg.TEST.LEARN_NMS)):
-                        from relation_tpu.core.predictor import (
-                            make_predict_fn_split)
-                        predict_fns[feat_hw] = make_predict_fn_split(
-                            model, cfg, feat_hw)
-                    else:
-                        predict_fns[feat_hw] = make_predict_fn(model, cfg,
-                                                               feat_hw)
+                    predict_fns[feat_hw] = _build_predict_fn(model, cfg,
+                                                             feat_hw)
                 out = predict_fns[feat_hw](params, jnp.asarray(img),
                                            jnp.asarray(im_info), res4_folded)
             if "monitor" in out:

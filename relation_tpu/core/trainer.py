@@ -313,17 +313,29 @@ def make_train_step(model: RelationRCNN, cfg, stop_after: str = "",
         }
 
         if learn_nms and stop_after != "head":
-            ln = model.apply(
-                {"params": params}, cls_score[:nongt_dim], bbox_pred[:nongt_dim],
+            def lnms_branch(params, cls_s, bbox_p, rois, fc2_, im_info,
+                            gt_boxes, gt_valid):
+                ln = model.apply(
+                    {"params": params}, cls_s, bbox_p, rois, fc2_, im_info,
+                    method=type(model).learn_nms)
+                nt = nms_multi_target(
+                    ln["sorted_bbox"], gt_boxes, gt_valid,
+                    jax.lax.stop_gradient(ln["sorted_score"]), threshes)
+                nms_total, pos_l, neg_l = learn_nms_losses(
+                    ln["nms_multi_score"], nt, float(cfg.TRAIN.nms_loss_scale),
+                    float(cfg.TRAIN.nms_pos_scale))
+                acc_pos, acc_neg = nms_accuracy(ln["nms_multi_score"], nt)
+                return nms_total, (pos_l, neg_l, acc_pos, acc_neg)
+
+            if bool(cfg.TPU.get("LNMS_REMAT", False)):
+                # rematerialize the branch's forward during backward instead
+                # of saving its residuals (A/B'd in context via
+                # tools/microbench_train_cuts.py; see BASELINE.md round 4)
+                lnms_branch = jax.checkpoint(lnms_branch)
+            nms_total, (pos_l, neg_l, acc_pos, acc_neg) = lnms_branch(
+                params, cls_score[:nongt_dim], bbox_pred[:nongt_dim],
                 tgt["rois"][:nongt_dim], fc2[:nongt_dim], im_info,
-                method=type(model).learn_nms)
-            nt = nms_multi_target(ln["sorted_bbox"], gt_boxes, gt_valid,
-                                  jax.lax.stop_gradient(ln["sorted_score"]),
-                                  threshes)
-            nms_total, pos_l, neg_l = learn_nms_losses(
-                ln["nms_multi_score"], nt, float(cfg.TRAIN.nms_loss_scale),
-                float(cfg.TRAIN.nms_pos_scale))
-            acc_pos, acc_neg = nms_accuracy(ln["nms_multi_score"], nt)
+                gt_boxes, gt_valid)
             total = total + nms_total
             metrics.update({"nms_pos_loss": pos_l, "nms_neg_loss": neg_l,
                             "nms_acc_pos": acc_pos, "nms_acc_neg": acc_neg})

@@ -227,3 +227,37 @@ def test_pred_eval_sharded_matches_sequential(rng, tmp_path):
         np.testing.assert_array_equal(
             par[k], seq[k], err_msg=f"image {k}: sharded != sequential")
     assert any(len(v) for v in seq.values())
+
+
+def test_prewarm_buckets_populates_shared_cache(rng):
+    """prewarm_buckets compiles one predict fn per configured bucket from
+    parallel threads into the SAME dict pred_eval consults (the multi-bucket
+    cold-start fix: 77.7 s serial -> 45.6 s threaded on the TPU,
+    tools/bench_prewarm.py); a prewarmed fn must be the one the lazy path
+    would have built — detections identical."""
+    from relation_tpu.core.evaluator import prewarm_buckets, _build_predict_fn
+
+    cfg = tiny_cfg()
+    cfg.TEST.LEARN_NMS = False
+    cfg.TRAIN.LEARN_NMS = False
+    cfg.symbol = "resnet_v1_101_rcnn"
+    cfg.TPU.S2D_INPUT = False
+    cfg.TPU.H2D_UINT8 = False
+    cfg.TPU.IMAGE_BUCKETS = [(48, 64), (64, 64)]
+    model = build_model(cfg, tiny=True)
+    img0 = jnp.asarray(rng.randn(64, 64, 3).astype(np.float32))
+    sample_rois = jnp.zeros((8, 4)) + jnp.asarray([0, 0, 16, 16.0])
+    params = model.init(jax.random.PRNGKey(0), img0, sample_rois,
+                        jnp.asarray([64.0, 64.0, 1.0]), 8)["params"]
+
+    predict_fns = {}
+    prewarm_buckets(model, params, cfg, predict_fns, block=True)
+    stride = int(cfg.network.RCNN_FEAT_STRIDE)
+    want = {(h // stride, w // stride) for h, w in cfg.TPU.IMAGE_BUCKETS}
+    assert set(predict_fns) == want
+
+    info = jnp.asarray([64.0, 64.0, 1.0])
+    out_warm = predict_fns[(4, 4)](params, img0, info, None)
+    out_lazy = _build_predict_fn(model, cfg, (4, 4))(params, img0, info, None)
+    np.testing.assert_array_equal(np.asarray(out_warm["dets"]),
+                                  np.asarray(out_lazy["dets"]))

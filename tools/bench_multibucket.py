@@ -4,12 +4,15 @@ throughput when the image stream crosses all 3 TPU.IMAGE_BUCKETS.
 Round-2 verdict gap: every bench exercised exactly one bucket (608x1024); real
 COCO eval hits all of [(608,1024), (800,1024), (1024,1024)] and the static-shape
 design pays one XLA compile per bucket where the reference pays a cheap executor
-rebind (core/module.py:1041-1074). A mixed-aspect stream hits every bucket within
-the first few images, so "pre-warm concurrently" buys nothing (the compiles are
-needed immediately and this host has one core) — the operational fix is the
-PERSISTENT compilation cache (cfg.TPU.COMPILE_CACHE_DIR -> jax persistent cache):
-every process after the first loads each bucket program from disk instead of
-recompiling.
+rebind (core/module.py:1041-1074). Two mitigations, both measured here:
+- THREADED PREWARM (core/evaluator.prewarm_buckets, TPU.PREWARM_BUCKETS=True):
+  XLA compilation is mostly off-GIL and much of the per-bucket first call is
+  tunnel RPC waiting, so firing all three compiles from threads overlaps them
+  (77.7 s serial -> 45.6 s, tools/bench_prewarm.py) — pred_eval now does this
+  automatically, so the cold pass below measures the prewarmed pipeline.
+- the PERSISTENT compilation cache (cfg.TPU.COMPILE_CACHE_DIR): helps only on
+  hosts where deserialization beats recompile — measured NOT to help through
+  this environment's tunnel (see BASELINE.md round 3), kept for CPU/tests.
 
 This tool measures, in the production pred_eval loop on a mixed-aspect synthetic
 JPEG dataset:

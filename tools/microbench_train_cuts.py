@@ -63,6 +63,10 @@ def main():
                          "freeze cuts (see module docstring)")
     ap.add_argument("--legs", nargs="+", default=None,
                     help="bwd mode: subset of leg names to run")
+    ap.add_argument("--set", dest="overrides", nargs="+", default=[],
+                    metavar="SECTION.KEY=VAL",
+                    help="cfg overrides, e.g. TPU.LNMS_REMAT=1 (int/float/"
+                         "bool literals parsed; applied after _flagship_cfg)")
     args = ap.parse_args()
     # compile cache OPT-IN (warm cache measured slower than cold through the
     # axon tunnel, BASELINE.md round 3); steady-state timings are unaffected
@@ -78,6 +82,18 @@ def main():
     cfg.TRAIN.lr = 1e-5
     cfg.TRAIN.warmup = False
     cfg.TPU.GRAD_CLIP = 1.0
+    for ov in args.overrides:
+        path, _, raw = ov.partition("=")
+        try:
+            val = eval(raw, {}, {})       # 1 / 0.5 / True / "approx"
+        except Exception:
+            val = raw
+        node = cfg
+        *heads, leaf = path.split(".")
+        for h in heads:
+            node = node[h]
+        node[leaf] = val
+        print(f"cfg override: {path} = {val!r}")
     model = build_model(cfg)
     H, W = 608, 1024
     rng = np.random.RandomState(0)
