@@ -149,6 +149,32 @@ def main():
         # detections cache and COCO eval key on image id, so mAP is unchanged
         np.random.shuffle(roidb)
 
+    proposal_file = None
+    if not bool(cfg.TEST.HAS_RPN):
+        # reference test.py HAS_RPN=false surface (function/test_rcnn.py:40-51
+        # + lib/dataset/imdb.py:105-107): head-only inference on cached
+        # proposals — the workflow the reference FPN configs ship with.
+        # Resolution order: the reference's proposal_cache layout, then the
+        # pkl rcnn_train_test.py writes next to this config's train outputs.
+        s_test = cfg.dataset.test_image_set
+        candidates = [
+            os.path.join(cfg.dataset.proposal_cache or "", "rpn_data",
+                         f"{s_test}_rpn.pkl"),
+            os.path.join(cfg.dataset.proposal_cache or "",
+                         f"{s_test}_rpn.pkl"),
+            os.path.join(cfg.output_path or "output", cfg_name,
+                         cfg.dataset.image_set, f"{s_test}_rpn.pkl"),
+        ]
+        proposal_file = next((c for c in candidates if os.path.exists(c)), None)
+        if proposal_file is None:
+            raise FileNotFoundError(
+                f"TEST.HAS_RPN=false needs cached proposals for '{s_test}'; "
+                f"looked in: {candidates}. Generate them with "
+                "experiments/rcnn_train_test.py (stage 2) or set "
+                "TEST.HAS_RPN=true to use this model's own RPN.")
+        logger.info(f"HAS_RPN=false: cached proposals from {proposal_file}")
+
+
     model = build_model(cfg, tiny=args.tiny)
     import jax.numpy as jnp
     n0 = max(int(cfg.TEST.FIRST_N) + 1, 8)
@@ -162,7 +188,8 @@ def main():
 
     cache = os.path.join(out_path, "detections.pkl")
     results, dets = pred_eval(model, params, cfg, dataset, roidb, logger,
-                              cache_path=cache, ignore_cache=args.ignore_cache)
+                              cache_path=cache, ignore_cache=args.ignore_cache,
+                              proposal_file=proposal_file)
     if args.vis:
         # reference --vis (test.py:32, tester.py vis_all_detection)
         from relation_tpu.utils.vis import draw_detections
