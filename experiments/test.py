@@ -65,6 +65,33 @@ def parse_args():
     return p.parse_args()
 
 
+def resolve_proposal_file(cfg, cfg_name: str) -> str:
+    """Locate cached proposals for TEST.HAS_RPN=false (the reference test.py
+    surface: function/test_rcnn.py:40-51 + lib/dataset/imdb.py:105-107 —
+    head-only inference on cached proposals, the workflow the reference FPN
+    configs ship with). Resolution order: the reference's
+    ``<proposal_cache>/rpn_data/<set>_rpn.pkl`` layout, a flat
+    ``<proposal_cache>/<set>_rpn.pkl``, then the pkl
+    experiments/rcnn_train_test.py writes next to this config's train outputs.
+    """
+    s_test = cfg.dataset.test_image_set
+    candidates = [
+        os.path.join(cfg.dataset.proposal_cache or "", "rpn_data",
+                     f"{s_test}_rpn.pkl"),
+        os.path.join(cfg.dataset.proposal_cache or "", f"{s_test}_rpn.pkl"),
+        os.path.join(cfg.output_path or "output", cfg_name,
+                     cfg.dataset.image_set, f"{s_test}_rpn.pkl"),
+    ]
+    found = next((c for c in candidates if os.path.exists(c)), None)
+    if found is None:
+        raise FileNotFoundError(
+            f"TEST.HAS_RPN=false needs cached proposals for '{s_test}'; "
+            f"looked in: {candidates}. Generate them with "
+            "experiments/rcnn_train_test.py (stage 2) or set "
+            "TEST.HAS_RPN=true to use this model's own RPN.")
+    return found
+
+
 def main():
     args = parse_args()
     import jax
@@ -151,29 +178,8 @@ def main():
 
     proposal_file = None
     if not bool(cfg.TEST.HAS_RPN):
-        # reference test.py HAS_RPN=false surface (function/test_rcnn.py:40-51
-        # + lib/dataset/imdb.py:105-107): head-only inference on cached
-        # proposals — the workflow the reference FPN configs ship with.
-        # Resolution order: the reference's proposal_cache layout, then the
-        # pkl rcnn_train_test.py writes next to this config's train outputs.
-        s_test = cfg.dataset.test_image_set
-        candidates = [
-            os.path.join(cfg.dataset.proposal_cache or "", "rpn_data",
-                         f"{s_test}_rpn.pkl"),
-            os.path.join(cfg.dataset.proposal_cache or "",
-                         f"{s_test}_rpn.pkl"),
-            os.path.join(cfg.output_path or "output", cfg_name,
-                         cfg.dataset.image_set, f"{s_test}_rpn.pkl"),
-        ]
-        proposal_file = next((c for c in candidates if os.path.exists(c)), None)
-        if proposal_file is None:
-            raise FileNotFoundError(
-                f"TEST.HAS_RPN=false needs cached proposals for '{s_test}'; "
-                f"looked in: {candidates}. Generate them with "
-                "experiments/rcnn_train_test.py (stage 2) or set "
-                "TEST.HAS_RPN=true to use this model's own RPN.")
+        proposal_file = resolve_proposal_file(cfg, cfg_name)
         logger.info(f"HAS_RPN=false: cached proposals from {proposal_file}")
-
 
     model = build_model(cfg, tiny=args.tiny)
     import jax.numpy as jnp

@@ -67,6 +67,13 @@ def main():
                     metavar="SECTION.KEY=VAL",
                     help="cfg overrides, e.g. TPU.LNMS_REMAT=1 (int/float/"
                          "bool literals parsed; applied after _flagship_cfg)")
+    ap.add_argument("--family", choices=["flagship", "dcn", "fpn"],
+                    default="flagship",
+                    help="dcn: DCN+relation+learn-NMS end2end step; fpn: the "
+                         "reference FPN training mode (RCNN stage on cached "
+                         "proposals, make_train_step_rcnn with max_rois=1000 "
+                         "per cfgs/..._fpn_*.yaml TOP_ROIS) — full step only, "
+                         "no freeze legs")
     args = ap.parse_args()
     # compile cache OPT-IN (warm cache measured slower than cold through the
     # axon tunnel, BASELINE.md round 3); steady-state timings are unaffected
@@ -82,6 +89,18 @@ def main():
     cfg.TRAIN.lr = 1e-5
     cfg.TRAIN.warmup = False
     cfg.TPU.GRAD_CLIP = 1.0
+    if args.family == "dcn":
+        cfg.symbol = ("resnet_v1_101_rcnn_dcn_attention_1024_pairwise_"
+                      "position_multi_head_16_learn_nms")
+    elif args.family == "fpn":
+        # reference FPN training values (cfgs/..._fpn_relation_learn_nms)
+        cfg.symbol = ("resnet_v1_101_rcnn_fpn_attention_1024_pairwise_"
+                      "position_multi_head_16_learn_nms")
+        cfg.network.ANCHOR_SCALES = (8,)
+        cfg.network.NUM_ANCHORS = 3
+        cfg.TRAIN.BATCH_ROIS_OHEM = 512
+        cfg.TRAIN.FIRST_N = 150
+        cfg.TEST.FIRST_N = 150
     for ov in args.overrides:
         path, _, raw = ov.partition("=")
         try:
@@ -125,6 +144,38 @@ def main():
             "gt_boxes": jnp.asarray(gt),
             "gt_valid": jnp.asarray(gv),
         }
+        if args.family == "fpn":
+            # the reference FPN training step: head(+learn-NMS) on cached
+            # proposals, frozen-through-res2 trunk forward in the graph
+            # (function/train_rcnn.py semantics; core/rpn_workflow.py)
+            from relation_tpu.core.rpn_workflow import make_train_step_rcnn
+            R = 1000                       # TRAIN.TOP_ROIS, reference FPN yaml
+            rois_np = np.zeros((B, R, 4), np.float32)
+            for b in range(B):
+                xy = rng.rand(R, 2) * [900, 500]
+                wh = 20 + rng.rand(R, 2) * [400, 300]
+                rois_np[b, :, :2] = xy
+                rois_np[b, :, 2:] = np.minimum(xy + wh, [999, 599])
+            batch["rois"] = jnp.asarray(rois_np)
+            batch["rois_valid"] = jnp.ones((B, R), bool)
+            step = make_train_step_rcnn(model, cfg, max_rois=R,
+                                        max_gt=max_gt)
+            jstep = jax.jit(step, donate_argnums=(0,))
+            cur, m = jstep(jax.device_put(host_state), batch)
+            np.asarray(m["total_loss"])
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(args.steps):
+                    cur, m = jstep(cur, batch)
+                float(np.asarray(m["total_loss"]))
+                best = min(best,
+                           (time.perf_counter() - t0 - rt) / args.steps * 1e3)
+            results[(B, "fpn_rcnn_full")] = best
+            print(f"B={B} fpn_rcnn_full      {best:8.2f} ms total "
+                  f"{best / B:7.2f} ms/img", flush=True)
+            del cur, m, jstep
+            continue
         prev = 0.0
         if args.mode == "bwd":
             legs = [l for l in BWD_LEGS
