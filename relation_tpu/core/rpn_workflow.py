@@ -311,16 +311,12 @@ def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int,
 
     pixel_means = tuple(float(m) for m in cfg.network.PIXEL_MEANS)
 
-    def per_image(params, image, im_info, rois, rois_valid, gt_boxes, gt_valid,
+    def per_image(params, feat, im_info, rois, rois_valid, gt_boxes, gt_valid,
                   rng):
-        from relation_tpu.core.predictor import _image_from_u8
-        image = _image_from_u8(image, im_info, pixel_means)
-        if is_fpn:
-            feat, _ = model.apply({"params": params}, image,
-                                  method=RelationRCNNFPN.features_and_rpn)
-        else:
-            feat, _, _ = model.apply({"params": params}, image,
-                                     method=type(model).features_and_rpn)
+        """Everything after the (natively batched) conv trunk, for ONE image —
+        ``feat`` is this image's slice of the batched trunk output (same
+        structure as core/trainer.make_train_step: the trunk must NOT run
+        under vmap, whose pallas-stem batching rule VMEM-OOMs at B>1)."""
         tgt = sample_rois(
             rois, rois_valid, gt_boxes, gt_valid, rng,
             batch_rois=batch_rois, num_reg_classes=num_reg,
@@ -379,13 +375,26 @@ def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int,
             # kernels; numerics are unchanged (the optimizer mask already
             # zeroes those grads) — same policy as core/trainer.make_train_step
             from relation_tpu.core.trainer import trainable_mask
+            from relation_tpu.core.predictor import _image_from_u8
             mask = trainable_mask(params, fixed_prefixes)
             params = jax.tree.map(
                 lambda p, t: p if t else jax.lax.stop_gradient(p),
                 params, mask)
+            images = jax.vmap(
+                lambda im, ii: _image_from_u8(im, ii, pixel_means))(
+                    batch["image"], batch["im_info"])
+            # conv trunk natively batched, like core/trainer.make_train_step
+            # (one conv program over B; keeps the Pallas stem's B==1 dispatch
+            # honest — vmap's pallas batching rule VMEM-OOMs at B>1)
+            if is_fpn:
+                feat, _ = model.apply({"params": params}, images,
+                                      method=RelationRCNNFPN.features_and_rpn)
+            else:
+                feat, _, _ = model.apply({"params": params}, images,
+                                         method=type(model).features_and_rpn)
             totals, metrics = jax.vmap(
                 per_image, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
-                params, batch["image"], batch["im_info"], batch["rois"],
+                params, feat, batch["im_info"], batch["rois"],
                 batch["rois_valid"], batch["gt_boxes"], batch["gt_valid"], rngs)
             return jnp.mean(totals), jax.tree.map(jnp.mean, metrics)
 
@@ -417,12 +426,12 @@ def make_train_step_rpn(model, cfg, max_gt: int):
 
     pixel_means = tuple(float(m) for m in cfg.network.PIXEL_MEANS)
 
-    def per_image(params, image, im_info, gt_boxes, gt_valid, rng):
-        from relation_tpu.core.predictor import _image_from_u8
-        image = _image_from_u8(image, im_info, pixel_means)
+    def per_image(params, rpn_raw, im_info, gt_boxes, gt_valid, rng):
+        """RPN loss for ONE image from its slice of the batched trunk+RPN
+        output (trunk kept out of vmap — same pallas-stem policy as
+        make_train_step_rcnn / core/trainer.make_train_step)."""
         if is_fpn:
-            _, rpn_out = model.apply({"params": params}, image,
-                                     method=RelationRCNNFPN.features_and_rpn)
+            rpn_out = rpn_raw
             anchors_d = fpn_anchors(
                 {s: rpn_out[s][0].shape[:2] for s in FPN_STRIDES},
                 tuple(cfg.network.ANCHOR_SCALES),
@@ -436,8 +445,7 @@ def make_train_step_rpn(model, cfg, max_gt: int):
                 [rpn_out[s][1].astype(jnp.float32).reshape(-1, 4)
                  for s in FPN_STRIDES])
         else:
-            _, rpn_cls, rpn_bbox = model.apply(
-                {"params": params}, image, method=type(model).features_and_rpn)
+            rpn_cls, rpn_bbox = rpn_raw
             fh, fw = rpn_cls.shape[0], rpn_cls.shape[1]
             anchors = shift_anchors(base_anchors, fh, fw, stride)
             rpn_cls = rpn_cls.reshape(-1, 2)
@@ -464,8 +472,21 @@ def make_train_step_rpn(model, cfg, max_gt: int):
         rngs = jax.random.split(step_rng, batch["image"].shape[0])
 
         def loss_fn(params):
+            from relation_tpu.core.predictor import _image_from_u8
+            images = jax.vmap(
+                lambda im, ii: _image_from_u8(im, ii, pixel_means))(
+                    batch["image"], batch["im_info"])
+            if is_fpn:
+                _, rpn_raw = model.apply(
+                    {"params": params}, images,
+                    method=RelationRCNNFPN.features_and_rpn)
+            else:
+                _, rpn_cls, rpn_bbox = model.apply(
+                    {"params": params}, images,
+                    method=type(model).features_and_rpn)
+                rpn_raw = (rpn_cls, rpn_bbox)
             totals, metrics = jax.vmap(per_image, in_axes=(None, 0, 0, 0, 0, 0))(
-                params, batch["image"], batch["im_info"], batch["gt_boxes"],
+                params, rpn_raw, batch["im_info"], batch["gt_boxes"],
                 batch["gt_valid"], rngs)
             return jnp.mean(totals), jax.tree.map(jnp.mean, metrics)
 
