@@ -22,9 +22,15 @@ Semantics notes kept bit-faithful to the CUDA:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# Escape hatch for A/B benching: set RELATION_TPU_DEFORM_AUTODIFF=1 to use
+# plain autodiff through the bilinear gathers (the backward then lowers to
+# ~144 scatter-adds per deformable conv — slow on TPU). Read at trace time.
+_USE_CUSTOM_VJP = os.environ.get("RELATION_TPU_DEFORM_AUTODIFF", "0") != "1"
 
 
 def _bilinear_zero_pad(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
@@ -61,6 +67,161 @@ def _bilinear_zero_pad(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
     return out * inside[..., None]
 
 
+def _dconv_tap_coords(offset, k, stride, dilation, pad, num_groups):
+    """Sample coordinates for every tap/group: (yy, xx) each
+    [k*k, G, Ho, Wo] float32. Shared by the forward and the custom VJP."""
+    Ho, Wo = offset.shape[0], offset.shape[1]
+    base_y = (jnp.arange(Ho, dtype=jnp.float32) * stride - pad)[:, None]
+    base_x = (jnp.arange(Wo, dtype=jnp.float32) * stride - pad)[None, :]
+    off = offset.reshape(Ho, Wo, num_groups, k * k, 2).astype(jnp.float32)
+    tap_y = jnp.arange(k, dtype=jnp.float32).repeat(k) * dilation  # [k*k]
+    tap_x = jnp.tile(jnp.arange(k, dtype=jnp.float32), k) * dilation
+    # [kk, G, Ho, Wo]
+    dy = jnp.moveaxis(off[..., 0], (2, 3), (1, 0))
+    dx = jnp.moveaxis(off[..., 1], (2, 3), (1, 0))
+    yy = base_y[None, None] + tap_y[:, None, None, None] + dy
+    xx = base_x[None, None] + tap_x[:, None, None, None] + dx
+    return yy, xx
+
+
+def _dconv_col(x, yy, xx, num_groups):
+    """deformable_im2col: bilinear-gather the column tensor.
+    x: [H, W, C]; yy/xx: [kk, G, Ho, Wo] -> col [Ho, Wo, kk, C]."""
+    H, W, C = x.shape
+    kk = yy.shape[0]
+    cg = C // num_groups
+    cols = []
+    for t in range(kk):
+        parts = []
+        for g in range(num_groups):
+            parts.append(_bilinear_zero_pad(
+                x[:, :, g * cg:(g + 1) * cg], yy[t, g], xx[t, g]))
+        cols.append(jnp.concatenate(parts, axis=-1))           # [Ho, Wo, C]
+    return jnp.stack(cols, axis=2)                             # [Ho, Wo, kk, C]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _dconv_core(kernel, stride, dilation, pad, num_groups, x, offset, weights):
+    out, _ = _dconv_fwd(kernel, stride, dilation, pad, num_groups,
+                        x, offset, weights)
+    return out
+
+
+def _dconv_fwd(kernel, stride, dilation, pad, num_groups, x, offset, weights):
+    k = kernel
+    yy, xx = _dconv_tap_coords(offset, k, stride, dilation, pad, num_groups)
+    col = _dconv_col(x, yy, xx, num_groups)                    # [Ho, Wo, kk, C]
+    wmat = weights.reshape(k * k, x.shape[-1], -1)
+    out = jnp.einsum("hwkc,kco->hwo", col, wmat,
+                     preferred_element_type=jnp.float32)
+    return out, (x, offset, weights, col)
+
+
+def _hat_rows(coords, valid, dim, dtype):
+    """Comparison-form bilinear interpolation rows: [..., dim] with
+    row[..., p] = max(1 - |coord - p|, 0) * valid. Equivalent to the two
+    corner weights of _bilinear_zero_pad (zero-extension included), but
+    expressed densely so its transpose is a matmul, not a scatter."""
+    g = jnp.arange(dim, dtype=jnp.float32)
+    w = jnp.maximum(1.0 - jnp.abs(coords[..., None] - g), 0.0)
+    return (w * valid[..., None]).astype(dtype)
+
+
+def _dconv_bwd(kernel, stride, dilation, pad, num_groups, res, dout):
+    """Backward without a single scatter: weight/col grads are matmuls, the
+    image grad is a hat-row^T matmul per group (deformable_col2im as MXU
+    contraction), and the offset grad recomputes the 4 corner gathers.
+
+    Mirrors deformable_col2im / deformable_col2im_coord
+    (operator_cxx/nn/deformable_im2col.cuh:310-470) which are atomic-add
+    scatter kernels on CUDA — on TPU the same contraction rides the MXU.
+    """
+    x, offset, weights, col = res
+    H, W, C = x.shape
+    k = kernel
+    kk = k * k
+    G = num_groups
+    cg = C // G
+    Ho, Wo = offset.shape[0], offset.shape[1]
+    Q = Ho * Wo
+    wmat = weights.reshape(kk, C, -1)
+
+    # d col and d weights: plain MXU contractions
+    dcol = jnp.einsum("hwo,kco->hwkc", dout, wmat,
+                      preferred_element_type=jnp.float32).astype(col.dtype)
+    dw = jnp.einsum("hwkc,hwo->kco", col, dout,
+                    preferred_element_type=jnp.float32)
+    dw = dw.reshape(weights.shape).astype(weights.dtype)
+
+    yy, xx = _dconv_tap_coords(offset, k, stride, dilation, pad, G)
+    inside = (yy > -1.0) & (yy < H) & (xx > -1.0) & (xx < W)
+    yz = jnp.where(inside, yy, 0.0)
+    xz = jnp.where(inside, xx, 0.0)
+
+    # dcol regrouped per (tap, group): [kk, G, Q, cg]
+    dcol_tg = jnp.moveaxis(dcol.reshape(Q, kk, G, cg), (1, 2), (0, 1))
+
+    # ---- d x: hat-row contraction per group (all taps in one dot) ----
+    mdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    By = _hat_rows(yz.reshape(kk, G, Q), inside.reshape(kk, G, Q), H, mdt)
+    Bx = _hat_rows(xz.reshape(kk, G, Q), inside.reshape(kk, G, Q), W, mdt)
+    dx_parts = []
+    for g in range(G):
+        # A[kq, hw] = By[kq, h] * Bx[kq, w]  (the bilinear weight of output
+        # sample kq on input pixel hw); dXg = A^T @ dcol_g
+        A = (By[:, g, :, :, None] * Bx[:, g, :, None, :]).reshape(kk * Q,
+                                                                  H * W)
+        dxg = jax.lax.dot_general(
+            A, dcol_tg[:, g].reshape(kk * Q, cg).astype(mdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                 # [H*W, cg]
+        dx_parts.append(dxg)
+    dx = jnp.concatenate(dx_parts, axis=-1).reshape(H, W, C).astype(x.dtype)
+
+    # ---- d offset: recompute the 4 corner values (gathers are cheap) ----
+    y0 = jnp.floor(yz)
+    x0 = jnp.floor(xz)
+    ly = (yz - y0).astype(x.dtype)
+    lx = (xz - x0).astype(x.dtype)
+    dys, dxs = [], []
+    for t in range(kk):
+        dyg, dxg_ = [], []
+        for g in range(G):
+            feat = x[:, :, g * cg:(g + 1) * cg]
+            flat = feat.reshape(H * W, cg)
+
+            def corner(yy_, xx_):
+                ok = (yy_ >= 0) & (yy_ <= H - 1) & (xx_ >= 0) & (xx_ <= W - 1)
+                yi = jnp.clip(yy_, 0, H - 1).astype(jnp.int32)
+                xi = jnp.clip(xx_, 0, W - 1).astype(jnp.int32)
+                v = flat[(yi * W + xi).reshape(-1)].reshape(yy_.shape + (cg,))
+                return v * ok[..., None]
+
+            v00 = corner(y0[t, g], x0[t, g])
+            v01 = corner(y0[t, g], x0[t, g] + 1)
+            v10 = corner(y0[t, g] + 1, x0[t, g])
+            v11 = corner(y0[t, g] + 1, x0[t, g] + 1)
+            d = dcol_tg[t, g].reshape(Ho, Wo, cg).astype(jnp.float32)
+            m = inside[t, g].astype(jnp.float32)
+            gy = ((v10 - v00) * (1 - lx[t, g])[..., None]
+                  + (v11 - v01) * lx[t, g][..., None]).astype(jnp.float32)
+            gx = ((v01 - v00) * (1 - ly[t, g])[..., None]
+                  + (v11 - v10) * ly[t, g][..., None]).astype(jnp.float32)
+            dyg.append(jnp.sum(d * gy, axis=-1) * m)
+            dxg_.append(jnp.sum(d * gx, axis=-1) * m)
+        dys.append(jnp.stack(dyg))
+        dxs.append(jnp.stack(dxg_))
+    ddy = jnp.stack(dys)                                        # [kk, G, Ho, Wo]
+    ddx = jnp.stack(dxs)
+    doff = jnp.stack([ddy, ddx], axis=-1)                       # [kk, G, Ho, Wo, 2]
+    doff = jnp.moveaxis(doff, (0, 1), (3, 2))                   # [Ho, Wo, G, kk, 2]
+    doff = doff.reshape(offset.shape).astype(offset.dtype)
+    return dx, doff, dw
+
+
+_dconv_core.defvjp(_dconv_fwd, _dconv_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("kernel", "stride", "dilation",
                                              "pad", "num_groups"))
 def deformable_conv(x: jnp.ndarray, offset: jnp.ndarray, weights: jnp.ndarray,
@@ -72,36 +233,21 @@ def deformable_conv(x: jnp.ndarray, offset: jnp.ndarray, weights: jnp.ndarray,
     (dy, dx) per tap (MXNet layout); weights: [k, k, C, Cout].
     Returns [Ho, Wo, Cout]. Mirrors DeformableConvolutionOp::Forward
     (deformable_convolution-inl.h:78-130) = deformable_im2col + GEMM.
+
+    The backward is a custom VJP (scatter-free: hat-row matmuls + corner
+    gathers; see _dconv_bwd) unless RELATION_TPU_DEFORM_AUTODIFF=1.
     """
     H, W, C = x.shape
     k = kernel
     if pad is None:
         pad = ((k - 1) // 2) * dilation
-    Ho, Wo = offset.shape[0], offset.shape[1]
     assert C % num_groups == 0
-    cg = C // num_groups
-
-    base_y = (jnp.arange(Ho, dtype=jnp.float32) * stride - pad)[:, None]  # [Ho,1]
-    base_x = (jnp.arange(Wo, dtype=jnp.float32) * stride - pad)[None, :]  # [1,Wo]
-    off = offset.reshape(Ho, Wo, num_groups, k * k, 2)
-
-    cols = []
-    for i in range(k):
-        for j in range(k):
-            tap = i * k + j
-            parts = []
-            for g in range(num_groups):
-                dy = off[:, :, g, tap, 0]
-                dx = off[:, :, g, tap, 1]
-                yy = base_y + i * dilation + dy
-                xx = base_x + j * dilation + dx
-                parts.append(_bilinear_zero_pad(
-                    x[:, :, g * cg:(g + 1) * cg], yy, xx))    # [Ho, Wo, cg]
-            cols.append(jnp.concatenate(parts, axis=-1))       # [Ho, Wo, C]
-    col = jnp.stack(cols, axis=2)                              # [Ho, Wo, k*k, C]
-    wmat = weights.reshape(k * k, C, -1)
-    return jnp.einsum("hwkc,kco->hwo", col, wmat,
-                      preferred_element_type=jnp.float32)
+    if _USE_CUSTOM_VJP:
+        return _dconv_core(k, stride, dilation, pad, num_groups,
+                           x, offset, weights)
+    out, _ = _dconv_fwd(k, stride, dilation, pad, num_groups,
+                        x, offset, weights)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("pooled_size", "group_size",

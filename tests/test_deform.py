@@ -40,6 +40,64 @@ def test_deformable_conv_integer_offset_shifts(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_deformable_conv_custom_vjp_matches_autodiff(rng):
+    # the production backward is a hand-written scatter-free VJP (hat-row
+    # matmuls); pin it against plain autodiff through the bilinear gathers
+    from relation_tpu.ops import deform
+
+    H, W, C, Co, G = 9, 11, 8, 6, 2
+    x = rng.randn(H, W, C).astype(np.float32)
+    w = (rng.randn(3, 3, C, Co) * 0.1).astype(np.float32)
+    # non-integer offsets, some samples pushed out of bounds
+    off = (rng.randn(H, W, G * 2 * 9) * 2.0 + 0.3).astype(np.float32)
+    off[0, 0] = 50.0                     # fully outside -> zero grads there
+    dout = rng.randn(H, W, Co).astype(np.float32)
+
+    def loss_custom(x_, o_, w_):
+        return jnp.sum(deform._dconv_core(3, 1, 2, 2, G, x_, o_, w_) * dout)
+
+    def loss_auto(x_, o_, w_):
+        out, _ = deform._dconv_fwd(3, 1, 2, 2, G, x_, o_, w_)
+        return jnp.sum(out * dout)
+
+    gc = jax.grad(loss_custom, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(off), jnp.asarray(w))
+    ga = jax.grad(loss_auto, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(off), jnp.asarray(w))
+    for got, want, name in zip(gc, ga, ["dx", "doffset", "dw"]):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_deformable_conv_custom_vjp_under_vmap(rng):
+    # the DCN trainer hits this op as jit(vmap(grad(.))) — cover that shape
+    from relation_tpu.ops import deform
+
+    B, H, W, C = 2, 6, 7, 4
+    x = rng.randn(B, H, W, C).astype(np.float32)
+    w = (rng.randn(3, 3, C, C) * 0.1).astype(np.float32)
+    off = (rng.randn(B, H, W, 2 * 2 * 9) * 1.5 + 0.25).astype(np.float32)
+
+    def per_image(x_, o_):
+        return jnp.sum(deform._dconv_core(3, 1, 1, 1, 2, x_, o_,
+                                          jnp.asarray(w)) ** 2)
+
+    def per_image_auto(x_, o_):
+        out, _ = deform._dconv_fwd(3, 1, 1, 1, 2, x_, o_, jnp.asarray(w))
+        return jnp.sum(out ** 2)
+
+    f = jax.jit(jax.grad(lambda xs, os: jnp.sum(jax.vmap(per_image)(xs, os)),
+                         argnums=(0, 1)))
+    fa = jax.jit(jax.grad(
+        lambda xs, os: jnp.sum(jax.vmap(per_image_auto)(xs, os)),
+        argnums=(0, 1)))
+    gc = f(jnp.asarray(x), jnp.asarray(off))
+    ga = fa(jnp.asarray(x), jnp.asarray(off))
+    for got, want, name in zip(gc, ga, ["dx", "doffset"]):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
 def np_dpsroi_oracle(feat, rois, trans, scale, P=7, S=4, trans_std=0.1):
     """Direct port of the CUDA kernel semantics for group_size=1."""
     H, W, C = feat.shape
