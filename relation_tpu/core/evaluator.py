@@ -20,12 +20,16 @@ from relation_tpu.data.eval import CocoEvaluator, format_coco_summary
 
 def _build_predict_fn(model, cfg, feat_hw):
     """The per-bucket predict program pred_eval compiles on first sight of a
-    bucket: the two-dispatch split module for the FPN learned-NMS family
-    (TPU.FPN_SPLIT_PREDICT), the single fused module otherwise."""
+    bucket: the split module(s) for the FPN learned-NMS family
+    (TPU.FPN_SPLIT_PREDICT: truthy = two-dispatch, 3 = three-dispatch with the
+    Pallas proposal sweep + Pallas head/tail), one fused module otherwise."""
     from relation_tpu.models.fpn import RelationRCNNFPN
-    if (bool(cfg.TPU.get("FPN_SPLIT_PREDICT", False))
-            and isinstance(model, RelationRCNNFPN)
+    split = cfg.TPU.get("FPN_SPLIT_PREDICT", False)
+    if (bool(split) and isinstance(model, RelationRCNNFPN)
             and bool(cfg.TEST.LEARN_NMS)):
+        if int(split) >= 3:
+            from relation_tpu.core.predictor import make_predict_fn_split3
+            return make_predict_fn_split3(model, cfg, feat_hw)
         from relation_tpu.core.predictor import make_predict_fn_split
         return make_predict_fn_split(model, cfg, feat_hw)
     return make_predict_fn(model, cfg, feat_hw)

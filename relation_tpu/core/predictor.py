@@ -331,6 +331,98 @@ def make_predict_fn_split(model, cfg, feat_hw: tuple[int, int]):
     return predict
 
 
+def make_predict_fn_split3(model, cfg, feat_hw: tuple[int, int]):
+    """FPN learned-NMS inference as THREE device programs
+    (cfg.TPU.FPN_SPLIT_PREDICT = 3):
+
+      stage 1 — trunk + pyramid + RPN conv heads. Pure convs, XLA-only, so the
+        stride-4/8 levels keep their space-to-batch rewrites.
+      stage 2 — proposal decode + pre-NMS top-k + the single-launch Pallas NMS
+        sweep (``nms_topk_presorted(use_kernel=True)``, the 147 us C4 fast
+        path vs ~437 us for the XLA while-loop fixpoint). The kernel is
+        s2b-poison ONLY when it shares an XLA module with the pyramid convs
+        (round-1 measurement: +5.6 ms; ops/nms.py docstring) — here it sees
+        only the conv OUTPUTS as module inputs, exactly like the C4 flagship
+        program where the same kernel is production-proven.
+      stage 3 — ROI head + relation + learned-NMS tail with
+        ``allow_pallas=True``: the fused Pallas geometry-bias kernel now also
+        serves the head's relation_1/relation_2 (models/fpn.py:158-163), not
+        just the tail's attention — no convs live here, so nothing to poison.
+
+    All three dispatches are async through the queue (launch overhead overlaps
+    device compute). Same call signature/result dict as make_predict_fn.
+    Reference counterpart: one fused symbol graph (symbols/resnet_v1_101_rcnn_
+    fpn_*.py) — the split is a TPU/XLA compilation-scope artifact only; the
+    math is unchanged and pinned by tests/test_fpn.py against the single
+    module.
+    """
+    from relation_tpu.models.fpn import (RelationRCNNFPN, fpn_anchors,
+                                         generate_proposals_fpn, FPN_STRIDES,
+                                         DISPATCH_STRIDES)
+    assert isinstance(model, RelationRCNNFPN) and bool(cfg.TEST.LEARN_NMS), (
+        "FPN_SPLIT_PREDICT applies to the FPN learned-NMS predict path only")
+    max_det = int(cfg.TEST.max_per_image)
+    merge_method = int(cfg.TEST.MERGE_METHOD)
+    score_thresh = float(cfg.TEST.get("SCORE_THRESH", 1e-3))
+    nongt_dim = int(cfg.TEST.RPN_POST_NMS_TOP_N)
+    pixel_means = tuple(float(m) for m in cfg.network.PIXEL_MEANS)
+    # Pallas NMS sweep only exists on TPU; elsewhere (CPU tests) stage 2
+    # falls back to the while-loop sweep inside nms_topk_presorted itself.
+    use_kernel = jax.default_backend() != "cpu"
+
+    def stage1(params, image, im_info):
+        image = _image_from_u8(image, im_info, pixel_means)
+        pyramid, rpn_out = model.apply(
+            {"params": params}, image, method=RelationRCNNFPN.features_and_rpn)
+        # stage 3 pools from the dispatch strides only; drop the P6 map
+        return {s: pyramid[s] for s in DISPATCH_STRIDES}, rpn_out
+
+    def stage2(rpn_out, im_info):
+        level_anchors = fpn_anchors(
+            {s: rpn_out[s][0].shape[:2] for s in FPN_STRIDES},
+            tuple(cfg.network.ANCHOR_SCALES), tuple(cfg.network.ANCHOR_RATIOS))
+        return generate_proposals_fpn(
+            rpn_out, level_anchors, im_info,
+            int(cfg.TEST.RPN_PRE_NMS_TOP_N), int(cfg.TEST.RPN_POST_NMS_TOP_N),
+            float(cfg.TEST.RPN_NMS_THRESH), float(cfg.TEST.RPN_MIN_SIZE),
+            use_kernel=use_kernel, topk=str(cfg.TPU.get("FPN_TOPK", "exact")))
+
+    tail_model = model.clone(allow_pallas=True)
+
+    def stage3(params, pyramid, rois, im_info):
+        cls_score, bbox_deltas, fc2 = tail_model.apply(
+            {"params": params}, pyramid, rois, nongt_dim,
+            method=RelationRCNNFPN.head)
+        ln = tail_model.apply(
+            {"params": params}, cls_score, bbox_deltas, rois, fc2, im_info,
+            float(cfg.TEST.LEARN_NMS_CLASS_SCORE_TH),
+            method=RelationRCNNFPN.learn_nms)
+        final = merge_multi_score(ln["nms_multi_score"], merge_method)
+        boxes = ln["sorted_bbox"] / im_info[2]
+        F, C = final.shape
+        cls_ids = jnp.broadcast_to(jnp.arange(1, C + 1)[None, :], (F, C))
+        valid = final > score_thresh
+        dets = _topk_detections(cls_ids.reshape(-1), final.reshape(-1),
+                                boxes.reshape(-1, 4), valid.reshape(-1),
+                                max_det)
+        return {"dets": dets, "sorted_bbox": ln["sorted_bbox"],
+                "sorted_score": ln["sorted_score"], "final_score": final}
+
+    jit1 = jax.jit(stage1)
+    jit2 = jax.jit(stage2)
+    jit3 = jax.jit(stage3)
+
+    def predict(params, image, im_info, res4_folded=None):
+        # res4_folded: C4-only knob, accepted for signature parity
+        pyramid, rpn_out = jit1(params, image, im_info)
+        rois, roi_scores, _ = jit2(rpn_out, jnp.asarray(im_info))
+        out = jit3(params, pyramid, rois, jnp.asarray(im_info))
+        out.update(rois=rois, roi_scores=roi_scores)
+        return out
+
+    return predict
+
+
 def make_predict_fn_sharded(model, cfg, feat_hw: tuple[int, int], mesh):
     """Data-parallel inference over a jax.sharding.Mesh: n_devices images per
     call, ONE per device — the reference's multi-GPU Predictor (one executor

@@ -93,3 +93,29 @@ def test_fpn_split_predict_matches_single_module(rng):
     np.testing.assert_allclose(d_got[:, 2:], d_ref[:, 2:], rtol=1e-4,
                                atol=1e-4)
     assert (d_ref[:, 0] >= 0).any()
+
+
+def test_fpn_split3_predict_matches_single_module(rng):
+    """TPU.FPN_SPLIT_PREDICT=3 three-dispatch inference (convs | proposal
+    decode+NMS | Pallas head+tail) returns the same detections as the
+    single-module predict (on CPU the stage-2 sweep falls back to the
+    while-loop form, which is the exact same greedy fixpoint)."""
+    from relation_tpu.core.predictor import make_predict_fn_split3
+    cfg = fpn_tiny_cfg()
+    model = build_model(cfg, tiny=True)
+    img = jnp.asarray((rng.randn(64, 64, 3) * 40).astype(np.float32))
+    rois0 = jnp.tile(jnp.asarray([[0.0, 0.0, 16.0, 16.0]]), (9, 1))
+    im_info = jnp.asarray([64.0, 64.0, 1.0])
+    params = model.init(jax.random.PRNGKey(0), img, rois0, im_info, 9)["params"]
+
+    ref = make_predict_fn(model, cfg, feat_hw=(4, 4))(params, img, im_info)
+    got = make_predict_fn_split3(model, cfg, feat_hw=(4, 4))(params, img,
+                                                             im_info)
+    d_ref, d_got = np.asarray(ref["dets"]), np.asarray(got["dets"])
+    np.testing.assert_array_equal(d_got[:, 0], d_ref[:, 0])      # class ids
+    np.testing.assert_allclose(d_got[:, 1], d_ref[:, 1], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(d_got[:, 2:], d_ref[:, 2:], rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["rois"]),
+                               np.asarray(ref["rois"]), rtol=1e-5, atol=1e-4)
+    assert (d_ref[:, 0] >= 0).any()

@@ -156,6 +156,14 @@ def main():
         ("fpn_split_learn_nms_active16",
          "resnet_v1_101_rcnn_fpn_attention_1024_pairwise_position_multi_head_16_learn_nms",
          True, False, 0.232),
+        # three-dispatch FPN predict (TPU.FPN_SPLIT_PREDICT=3): XLA-only conv
+        # module | Pallas proposal-NMS sweep module | Pallas head+tail module
+        ("fpn_split3_learn_nms",
+         "resnet_v1_101_rcnn_fpn_attention_1024_pairwise_position_multi_head_16_learn_nms",
+         True, False, 0.232),
+        ("fpn_split3_learn_nms_active16",
+         "resnet_v1_101_rcnn_fpn_attention_1024_pairwise_position_multi_head_16_learn_nms",
+         True, False, 0.232),
     ]
     want = [a for a in sys.argv[1:] if not a.startswith("-")]
     for label, symbol, ln, sn, ref_s in variants:
@@ -166,7 +174,8 @@ def main():
                 import jax
                 from __graft_entry__ import _flagship_cfg
                 from relation_tpu.core.trainer import build_model
-                from relation_tpu.core.predictor import make_predict_fn_split
+                from relation_tpu.core.predictor import (
+                    make_predict_fn_split, make_predict_fn_split3)
                 cfg = _flagship_cfg()
                 cfg.symbol = symbol
                 cfg.TRAIN.LEARN_NMS = cfg.TEST.LEARN_NMS = True
@@ -186,7 +195,9 @@ def main():
                     params = dict(params)
                     params["cls_score"] = dict(params["cls_score"],
                                                bias=jnp.asarray(b))
-                predict = make_predict_fn_split(model, cfg, (H // 16, W // 16))
+                mk = (make_predict_fn_split3 if label.startswith("fpn_split3")
+                      else make_predict_fn_split)
+                predict = mk(model, cfg, (H // 16, W // 16))
                 img = jnp.asarray(rng.randn(*image.shape).astype(np.float32) * 40)
                 ms = measure_dispatch_chain(predict, params, img, im_info)
                 print(json.dumps({"variant": label, "value": round(ms, 3),
