@@ -262,7 +262,8 @@ def load_proposal_roidb(roidb, proposal_file: str, top_rois: int = -1) -> list:
 
 def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int,
                          bbox_means=None, bbox_stds=None,
-                         train_shared: bool = False):
+                         train_shared: bool = False,
+                         fixed_prefixes=None, no_grad: bool = False):
     """Head-only train step on precomputed proposals (reference
     function/train_rcnn.py:32-183 semantics: sample_rois over cached rois, frozen
     shared trunk per FIXED_PARAMS_SHARED, no RPN loss). When TRAIN.LEARN_NMS the
@@ -306,8 +307,11 @@ def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int,
                        else cfg.TRAIN.BBOX_MEANS)
     bbox_stds = tuple(bbox_stds if bbox_stds is not None
                       else cfg.TRAIN.BBOX_STDS)
-    fixed_prefixes = tuple(cfg.network.FIXED_PARAMS_SHARED if train_shared
-                           else cfg.network.FIXED_PARAMS)
+    if fixed_prefixes is None:
+        fixed_prefixes = tuple(cfg.network.FIXED_PARAMS_SHARED if train_shared
+                               else cfg.network.FIXED_PARAMS)
+    else:
+        fixed_prefixes = tuple(fixed_prefixes)
 
     pixel_means = tuple(float(m) for m in cfg.network.PIXEL_MEANS)
 
@@ -398,6 +402,9 @@ def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int,
                 batch["rois_valid"], batch["gt_boxes"], batch["gt_valid"], rngs)
             return jnp.mean(totals), jax.tree.map(jnp.mean, metrics)
 
+        if no_grad:
+            _, metrics = loss_fn(state.params)
+            return state.replace(step=state.step + 1), metrics
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         return state.apply_gradients(grads), metrics

@@ -27,10 +27,21 @@ import os
 import jax
 import jax.numpy as jnp
 
-# Escape hatch for A/B benching: set RELATION_TPU_DEFORM_AUTODIFF=1 to use
-# plain autodiff through the bilinear gathers (the backward then lowers to
-# ~144 scatter-adds per deformable conv — slow on TPU). Read at trace time.
-_USE_CUSTOM_VJP = os.environ.get("RELATION_TPU_DEFORM_AUTODIFF", "0") != "1"
+# Backward-mode selector, read at trace time (A/B via
+# RELATION_TPU_DEFORM_VJP, or monkeypatch + jax.clear_caches() in one
+# process):
+#   "scatter"  — custom VJP: dw/dcol as MXU matmuls, doffset by recomputing
+#                the 4 corner gathers, dx by autodiff of the col gather
+#                (lowers to scatter-adds, but only for the dx term).
+#   "hat"      — custom VJP with dx as a dense hat-row^T matmul per group.
+#                Scatter-free, but materializes A=[kk*Q, H*W] — measured
+#                3x SLOWER than "scatter" at res5 scale (38x64 map, B=4:
+#                res5 backward 20.3 vs 6.3 ms/img), kept for small maps.
+#   "autodiff" — no custom VJP at all (~144 scatter-adds per conv).
+# RELATION_TPU_DEFORM_AUTODIFF=1 is the legacy spelling of "autodiff".
+_DCONV_VJP_MODE = os.environ.get("RELATION_TPU_DEFORM_VJP", "scatter")
+if os.environ.get("RELATION_TPU_DEFORM_AUTODIFF", "0") == "1":
+    _DCONV_VJP_MODE = "autodiff"
 
 
 def _bilinear_zero_pad(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
@@ -161,22 +172,30 @@ def _dconv_bwd(kernel, stride, dilation, pad, num_groups, res, dout):
     # dcol regrouped per (tap, group): [kk, G, Q, cg]
     dcol_tg = jnp.moveaxis(dcol.reshape(Q, kk, G, cg), (1, 2), (0, 1))
 
-    # ---- d x: hat-row contraction per group (all taps in one dot) ----
-    mdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
-    By = _hat_rows(yz.reshape(kk, G, Q), inside.reshape(kk, G, Q), H, mdt)
-    Bx = _hat_rows(xz.reshape(kk, G, Q), inside.reshape(kk, G, Q), W, mdt)
-    dx_parts = []
-    for g in range(G):
-        # A[kq, hw] = By[kq, h] * Bx[kq, w]  (the bilinear weight of output
-        # sample kq on input pixel hw); dXg = A^T @ dcol_g
-        A = (By[:, g, :, :, None] * Bx[:, g, :, None, :]).reshape(kk * Q,
-                                                                  H * W)
-        dxg = jax.lax.dot_general(
-            A, dcol_tg[:, g].reshape(kk * Q, cg).astype(mdt),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                 # [H*W, cg]
-        dx_parts.append(dxg)
-    dx = jnp.concatenate(dx_parts, axis=-1).reshape(H, W, C).astype(x.dtype)
+    if _DCONV_VJP_MODE == "scatter":
+        # ---- d x: transpose of the col gather (XLA scatter-adds). The
+        # dense hat-row alternative below materializes A=[kk*Q, H*W]
+        # (~200 MB/group at res5 scale) and measured 3x slower in the DCN
+        # train step; the 4-corner sparsity only scatter exploits. ----
+        _, pull = jax.vjp(lambda xv: _dconv_col(xv, yy, xx, G), x)
+        dx = pull(dcol)[0].astype(x.dtype)
+    else:
+        # ---- d x: hat-row contraction per group (all taps in one dot) ----
+        mdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+        By = _hat_rows(yz.reshape(kk, G, Q), inside.reshape(kk, G, Q), H, mdt)
+        Bx = _hat_rows(xz.reshape(kk, G, Q), inside.reshape(kk, G, Q), W, mdt)
+        dx_parts = []
+        for g in range(G):
+            # A[kq, hw] = By[kq, h] * Bx[kq, w]  (the bilinear weight of
+            # output sample kq on input pixel hw); dXg = A^T @ dcol_g
+            A = (By[:, g, :, :, None] * Bx[:, g, :, None, :]).reshape(kk * Q,
+                                                                      H * W)
+            dxg = jax.lax.dot_general(
+                A, dcol_tg[:, g].reshape(kk * Q, cg).astype(mdt),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # [H*W, cg]
+            dx_parts.append(dxg)
+        dx = jnp.concatenate(dx_parts, axis=-1).reshape(H, W, C).astype(x.dtype)
 
     # ---- d offset: recompute the 4 corner values (gathers are cheap) ----
     y0 = jnp.floor(yz)
@@ -234,15 +253,16 @@ def deformable_conv(x: jnp.ndarray, offset: jnp.ndarray, weights: jnp.ndarray,
     Returns [Ho, Wo, Cout]. Mirrors DeformableConvolutionOp::Forward
     (deformable_convolution-inl.h:78-130) = deformable_im2col + GEMM.
 
-    The backward is a custom VJP (scatter-free: hat-row matmuls + corner
-    gathers; see _dconv_bwd) unless RELATION_TPU_DEFORM_AUTODIFF=1.
+    The backward is a custom VJP (dw/dcol as matmuls, doffset by corner
+    recompute, dx per _DCONV_VJP_MODE; see _dconv_bwd) unless
+    RELATION_TPU_DEFORM_VJP=autodiff (or legacy ..._AUTODIFF=1).
     """
     H, W, C = x.shape
     k = kernel
     if pad is None:
         pad = ((k - 1) // 2) * dilation
     assert C % num_groups == 0
-    if _USE_CUSTOM_VJP:
+    if _DCONV_VJP_MODE != "autodiff":
         return _dconv_core(k, stride, dilation, pad, num_groups,
                            x, offset, weights)
     out, _ = _dconv_fwd(k, stride, dilation, pad, num_groups,

@@ -2,6 +2,7 @@
 and the DCN detector path."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -40,10 +41,13 @@ def test_deformable_conv_integer_offset_shifts(rng):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_deformable_conv_custom_vjp_matches_autodiff(rng):
-    # the production backward is a hand-written scatter-free VJP (hat-row
-    # matmuls); pin it against plain autodiff through the bilinear gathers
+@pytest.mark.parametrize("mode", ["scatter", "hat"])
+def test_deformable_conv_custom_vjp_matches_autodiff(rng, monkeypatch, mode):
+    # the production backward is a hand-written VJP (matmul dw/dcol + corner-
+    # recompute doffset; dx per mode: autodiff-of-gather scatter or hat-row
+    # matmuls); pin both against plain autodiff through the bilinear gathers
     from relation_tpu.ops import deform
+    monkeypatch.setattr(deform, "_DCONV_VJP_MODE", mode)
 
     H, W, C, Co, G = 9, 11, 8, 6, 2
     x = rng.randn(H, W, C).astype(np.float32)
@@ -69,9 +73,11 @@ def test_deformable_conv_custom_vjp_matches_autodiff(rng):
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
-def test_deformable_conv_custom_vjp_under_vmap(rng):
+@pytest.mark.parametrize("mode", ["scatter", "hat"])
+def test_deformable_conv_custom_vjp_under_vmap(rng, monkeypatch, mode):
     # the DCN trainer hits this op as jit(vmap(grad(.))) — cover that shape
     from relation_tpu.ops import deform
+    monkeypatch.setattr(deform, "_DCONV_VJP_MODE", mode)
 
     B, H, W, C = 2, 6, 7, 4
     x = rng.randn(B, H, W, C).astype(np.float32)

@@ -39,6 +39,20 @@ sys.path.insert(0, "/root/repo")
 CUTS = ["rpn", "anchor_targets", "proposals", "sample", "head", ""]
 
 
+# FPN cached-proposal RCNN step (make_train_step_rcnn): no RPN loss; the
+# neck ("fpn_" laterals/smooth convs) and the FC head replace the C4/C5 legs
+FPN_BWD_LEGS = [
+    ("full", ()),
+    ("f_res3", ("res3", "bn3")),
+    ("f_res4", ("res3", "bn3", "res4", "bn4")),
+    ("f_res5", ("res3", "bn3", "res4", "bn4", "res5", "bn5")),
+    ("f_neck", ("res3", "bn3", "res4", "bn4", "res5", "bn5", "fpn_")),
+    ("f_head", ("res3", "bn3", "res4", "bn4", "res5", "bn5", "fpn_",
+                "roi_pool_fc", "cls_score", "bbox_pred", "relation")),
+    ("f_all", ("",)),
+    ("fwd_only", None),
+]
+
 BWD_LEGS = [
     ("full", ()),
     ("f_res3", ("res3", "bn3")),
@@ -158,23 +172,40 @@ def main():
                 rois_np[b, :, 2:] = np.minimum(xy + wh, [999, 599])
             batch["rois"] = jnp.asarray(rois_np)
             batch["rois_valid"] = jnp.ones((B, R), bool)
-            step = make_train_step_rcnn(model, cfg, max_rois=R,
-                                        max_gt=max_gt)
-            jstep = jax.jit(step, donate_argnums=(0,))
-            cur, m = jstep(jax.device_put(host_state), batch)
-            np.asarray(m["total_loss"])
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for _ in range(args.steps):
-                    cur, m = jstep(cur, batch)
-                float(np.asarray(m["total_loss"]))
-                best = min(best,
-                           (time.perf_counter() - t0 - rt) / args.steps * 1e3)
-            results[(B, "fpn_rcnn_full")] = best
-            print(f"B={B} fpn_rcnn_full      {best:8.2f} ms total "
-                  f"{best / B:7.2f} ms/img", flush=True)
-            del cur, m, jstep
+            if args.mode == "bwd":
+                legs = [l for l in FPN_BWD_LEGS
+                        if args.legs is None or l[0] in args.legs]
+            else:
+                legs = [("full", ())]
+            base = tuple(cfg.network.FIXED_PARAMS)
+            prev = 0.0
+            for name, extra in legs:
+                if extra is None:
+                    step = make_train_step_rcnn(model, cfg, max_rois=R,
+                                                max_gt=max_gt, no_grad=True)
+                else:
+                    step = make_train_step_rcnn(model, cfg, max_rois=R,
+                                                max_gt=max_gt,
+                                                fixed_prefixes=base + extra)
+                jstep = jax.jit(step, donate_argnums=(0,))
+                cur, m = jstep(jax.device_put(host_state), batch)
+                np.asarray(m["total_loss"])
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for _ in range(args.steps):
+                        cur, m = jstep(cur, batch)
+                    float(np.asarray(m["total_loss"]))
+                    best = min(best,
+                               (time.perf_counter() - t0 - rt)
+                               / args.steps * 1e3)
+                results[(B, f"fpn_rcnn_{name}")] = best
+                print(f"B={B} fpn_rcnn_{name:<10} {best:8.2f} ms total "
+                      f"{best / B:7.2f} ms/img"
+                      + (f"  (-{(prev - best) / B:6.2f} ms/img vs prev)"
+                         if prev else ""), flush=True)
+                prev = best
+                del cur, m, jstep
             continue
         prev = 0.0
         if args.mode == "bwd":
@@ -228,7 +259,8 @@ def main():
             prev = best
             del cur, m, jstep
 
-    if args.mode == "fwd" and len(args.batch) >= 2 and len(args.cuts) >= 2:
+    if (args.mode == "fwd" and args.family != "fpn"
+            and len(args.batch) >= 2 and len(args.cuts) >= 2):
         b0, b1 = args.batch[0], args.batch[-1]
         print(f"\nper-image stage deltas (B={b0} vs B={b1}):")
         prev0 = prev1 = 0.0
