@@ -186,8 +186,12 @@ def main():
     n0 = max(int(cfg.TEST.FIRST_N) + 1, 8)
     rois0 = jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (n0, 1))
     bh, bw = sorted(tuple(b) for b in cfg.TPU.IMAGE_BUCKETS)[0]
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((bh, bw, 3)), rois0,
-                        jnp.asarray([float(bh), float(bw), 1.0]), n0)["params"]
+    # jit the flax init: eager init dispatches ~600 ops one by one (~5 min
+    # through the async device tunnel); jitted it is one compile + ms run
+    # (measured in core/trainer.py:406-409)
+    params = jax.jit(model.init, static_argnums=(4,))(
+        jax.random.PRNGKey(0), jnp.zeros((bh, bw, 3)), rois0,
+        jnp.asarray([float(bh), float(bw), 1.0]), n0)["params"]
     if args.ckpt:
         params = params_from_blob(ckpt_blob, params)
         logger.info(f"loaded params: {args.ckpt}")
@@ -214,6 +218,7 @@ def main():
                     vis_dir, os.path.basename(str(entry["image"])) + ".png"))
         logger.info(f"wrote visualizations: {vis_dir}")
     print(results)
+    return results, dets
 
 
 if __name__ == "__main__":

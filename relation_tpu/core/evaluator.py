@@ -27,6 +27,12 @@ def _build_predict_fn(model, cfg, feat_hw):
     split = cfg.TPU.get("FPN_SPLIT_PREDICT", False)
     if (bool(split) and isinstance(model, RelationRCNNFPN)
             and bool(cfg.TEST.LEARN_NMS)):
+        # accept bool/int (and int-like strings from YAML/CLI overrides);
+        # any other truthy value means "split on" -> the two-dispatch default
+        try:
+            split = int(split) if not isinstance(split, bool) else 1
+        except (TypeError, ValueError):
+            split = 1
         if int(split) >= 3:
             from relation_tpu.core.predictor import make_predict_fn_split3
             return make_predict_fn_split3(model, cfg, feat_hw)

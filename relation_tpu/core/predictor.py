@@ -368,6 +368,10 @@ def make_predict_fn_split3(model, cfg, feat_hw: tuple[int, int]):
     pixel_means = tuple(float(m) for m in cfg.network.PIXEL_MEANS)
     # Pallas NMS sweep only exists on TPU; elsewhere (CPU tests) stage 2
     # falls back to the while-loop sweep inside nms_topk_presorted itself.
+    # NOTE: the CPU parity test (tests/test_fpn.py) therefore exercises the
+    # fallback; device-side parity of the kernelized stage 2 rests on the
+    # C4-proven nms_topk_presorted kernel (same kernel, same presorted-input
+    # contract, pinned by tests/test_pallas_kernels.py on TPU).
     use_kernel = jax.default_backend() != "cpu"
 
     def stage1(params, image, im_info):

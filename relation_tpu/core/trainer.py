@@ -90,7 +90,11 @@ def build_model(cfg, tiny: bool = False):
         roi_method=str(cfg.TPU.get("ROI_METHOD", "align")),
         backbone="tiny" if tiny else "resnet101",
         head_dim=64 if tiny else 1024,
-        conv_dtype=jnp.float32 if tiny else jnp.bfloat16,
+        # TPU.COMPUTE_DTYPE governs the conv trunk (bfloat16 on TPU; "float32"
+        # is the strict-parity mode used by the multichip DP certificates)
+        conv_dtype=(jnp.float32 if tiny or
+                    str(cfg.TPU.get("COMPUTE_DTYPE", "bfloat16")) != "bfloat16"
+                    else jnp.bfloat16),
         head_dtype=(jnp.float32 if tiny or
                     str(cfg.TPU.get("HEAD_DTYPE", "bfloat16")) != "bfloat16"
                     else jnp.bfloat16),

@@ -42,6 +42,10 @@ import jax.numpy as jnp
 _DCONV_VJP_MODE = os.environ.get("RELATION_TPU_DEFORM_VJP", "scatter")
 if os.environ.get("RELATION_TPU_DEFORM_AUTODIFF", "0") == "1":
     _DCONV_VJP_MODE = "autodiff"
+if _DCONV_VJP_MODE not in ("scatter", "hat", "autodiff"):
+    raise ValueError(
+        f"RELATION_TPU_DEFORM_VJP={_DCONV_VJP_MODE!r}: expected one of "
+        "'scatter', 'hat', 'autodiff'")
 
 
 def _bilinear_zero_pad(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
@@ -139,9 +143,12 @@ def _hat_rows(coords, valid, dim, dtype):
 
 
 def _dconv_bwd(kernel, stride, dilation, pad, num_groups, res, dout):
-    """Backward without a single scatter: weight/col grads are matmuls, the
-    image grad is a hat-row^T matmul per group (deformable_col2im as MXU
-    contraction), and the offset grad recomputes the 4 corner gathers.
+    """Backward with a mode-dependent dx path: weight/col grads are always
+    matmuls and the offset grad always recomputes the 4 corner gathers; the
+    image grad dx is, per _DCONV_VJP_MODE, either autodiff of the col gather
+    (default 'scatter' — lowers to 4-corner scatter-adds, which beat the
+    dense form at res5 scale) or a hat-row^T matmul per group ('hat' —
+    deformable_col2im as a dense MXU contraction, kept for small maps).
 
     Mirrors deformable_col2im / deformable_col2im_coord
     (operator_cxx/nn/deformable_im2col.cuh:310-470) which are atomic-add

@@ -78,7 +78,7 @@ def main():
         import jax.numpy as jnp
         n0 = max(int(cfg.TEST.FIRST_N) + 1, 8)
         rois0 = jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (n0, 1))
-        params = model.init(
+        params = jax.jit(model.init, static_argnums=(4,))(
             jax.random.PRNGKey(0), jnp.zeros((608, 1024, 3)), rois0,
             jnp.asarray([608.0, 1024.0, 1.0]), n0)["params"]
 

@@ -61,8 +61,8 @@ def build(roi_method: str):
     rois0 = jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (n0, 1))
     im_info = jnp.asarray([600.0, 1000.0, 1.667], jnp.float32)
     image = jnp.zeros((12, H // 2, W // 2), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), image, rois0, im_info,
-                        n0)["params"]
+    params = jax.jit(model.init, static_argnums=(4,))(
+        jax.random.PRNGKey(0), image, rois0, im_info, n0)["params"]
     predict = make_predict_fn(model, cfg, (H // 16, W // 16))
 
     def fn(params, img, im_info):

@@ -105,8 +105,10 @@ def build(symbol, learn_nms=True, softnms=False, **model_overrides):
     # all trunks share ResNet101C4's stem dispatch: the s2d planar layout is
     # the production input for every family (pred_eval converts host-side)
     image = jnp.zeros((12, H // 2, W // 2), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), image, rois0, im_info,
-                        n0)["params"]
+    # jitted init: eager flax init dispatches ~600 ops one by one (~5 min
+    # through the async device tunnel, core/trainer.py:406-409)
+    params = jax.jit(model.init, static_argnums=(4,))(
+        jax.random.PRNGKey(0), image, rois0, im_info, n0)["params"]
     predict = make_predict_fn(model, cfg, (H // 16, W // 16))
 
     def fn(params, img, im_info):
@@ -186,8 +188,9 @@ def main():
                 rois0 = jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (n0, 1))
                 im_info = jnp.asarray([600.0, 1000.0, 1.667], jnp.float32)
                 image = jnp.zeros((12, H // 2, W // 2), jnp.float32)
-                params = model.init(jax.random.PRNGKey(0), image, rois0,
-                                    im_info, n0)["params"]
+                params = jax.jit(model.init, static_argnums=(4,))(
+                    jax.random.PRNGKey(0), image, rois0, im_info,
+                    n0)["params"]
                 if label.endswith("_active16"):
                     b = np.zeros(81, np.float32)
                     b[1:] = -9.0

@@ -207,6 +207,9 @@ def main():
     p.add_argument("--cfg", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--use-test-weights", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny-backbone template (rehearsal/testing; must match "
+                        "the model the checkpoint was saved from)")
     args = p.parse_args()
 
     import jax
@@ -216,11 +219,12 @@ def main():
     from relation_tpu.core.checkpoint import save_params
 
     cfg = load_config(args.cfg)
-    model = build_model(cfg)
+    model = build_model(cfg, tiny=args.tiny)
     n0 = max(int(cfg.TEST.FIRST_N) + 1, 8)
     rois0 = jnp.tile(jnp.asarray([[0.0, 0.0, 32.0, 32.0]]), (n0, 1))
-    template = model.init(jax.random.PRNGKey(0), jnp.zeros((128, 128, 3)), rois0,
-                          jnp.asarray([128.0, 128.0, 1.0]), n0)["params"]
+    template = jax.jit(model.init, static_argnums=(4,))(
+        jax.random.PRNGKey(0), jnp.zeros((128, 128, 3)), rois0,
+        jnp.asarray([128.0, 128.0, 1.0]), n0)["params"]
 
     raw = load_any(args.src)
     params, missing, unused = convert(raw, template,

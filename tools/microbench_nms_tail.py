@@ -79,7 +79,8 @@ def main():
                                 allow_pallas=False, compact_classes=m,
                                 geom_emb_dtype=emb_dtype)
         active = jnp.asarray((np.arange(C) < n_active).astype(np.int32))
-        params = mod.init(jax.random.PRNGKey(0), feat, pos_t, active=active)
+        params = jax.jit(mod.init)(jax.random.PRNGKey(0), feat, pos_t,
+                                   active=active)
 
         def fn(feat, pos_t, active, params=params, mod=mod):
             y, _ = mod.apply(params, feat, pos_t, active=active)

@@ -75,6 +75,10 @@ def main():
     ap.add_argument("--mode", choices=["fwd", "bwd"], default="fwd",
                     help="fwd: stop_after stage cuts; bwd: grad_req-null "
                          "freeze cuts (see module docstring)")
+    ap.add_argument("--no-grad", action="store_true",
+                    help="fwd mode: compile every stop_after cut WITHOUT "
+                         "value_and_grad — cumulative FORWARD-stage profile "
+                         "(where does the train forward exceed inference?)")
     ap.add_argument("--legs", nargs="+", default=None,
                     help="bwd mode: subset of leg names to run")
     ap.add_argument("--set", dest="overrides", nargs="+", default=[],
@@ -239,7 +243,8 @@ def main():
                 del cur, m, jstep
             continue
         for cut in args.cuts:
-            step = make_train_step(model, cfg, stop_after=cut)
+            step = make_train_step(model, cfg, stop_after=cut,
+                                   no_grad=args.no_grad)
             jstep = jax.jit(step, donate_argnums=(0,))
             cur, m = jstep(jax.device_put(host_state), batch)
             np.asarray(m["total_loss"])
@@ -251,7 +256,7 @@ def main():
                     cur, m = jstep(cur, batch)
                 float(np.asarray(m["total_loss"]))
                 best = min(best, (time.perf_counter() - t0 - rt) / n * 1e3)
-            name = cut or "full"
+            name = ("ng_" if args.no_grad else "") + (cut or "full")
             results[(B, name)] = best
             print(f"B={B} cut={name:<14} {best:8.2f} ms total "
                   f"{best / B:7.2f} ms/img  (+{(best - prev) / B:6.2f} ms/img)",
@@ -265,7 +270,7 @@ def main():
         print(f"\nper-image stage deltas (B={b0} vs B={b1}):")
         prev0 = prev1 = 0.0
         for cut in args.cuts:
-            name = cut or "full"
+            name = ("ng_" if args.no_grad else "") + (cut or "full")
             d0 = (results[(b0, name)] - prev0) / b0
             d1 = (results[(b1, name)] - prev1) / b1
             flag = "  <-- sub-scales" if d1 > 1.15 * d0 else ""
