@@ -263,7 +263,8 @@ def load_proposal_roidb(roidb, proposal_file: str, top_rois: int = -1) -> list:
 def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int,
                          bbox_means=None, bbox_stds=None,
                          train_shared: bool = False,
-                         fixed_prefixes=None, no_grad: bool = False):
+                         fixed_prefixes=None, no_grad: bool = False,
+                         stop_after: str = ""):
     """Head-only train step on precomputed proposals (reference
     function/train_rcnn.py:32-183 semantics: sample_rois over cached rois, frozen
     shared trunk per FIXED_PARAMS_SHARED, no RPN loss). When TRAIN.LEARN_NMS the
@@ -281,6 +282,12 @@ def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int,
 
     Batch schema: image [B,H,W,3], im_info [B,3], rois [B,R,4], rois_valid [B,R],
     gt_boxes [B,G,5], gt_valid [B,G].
+
+    ``stop_after`` is a benchmarking cut (tools/microbench_train_cuts.py,
+    same methodology as core/trainer.make_train_step): stop the per-image
+    graph after 'trunk' (conv pyramid + 1e-30 tap), 'sample' (sample_rois),
+    'pool' (ROI feature extraction), or 'head' (cls/bbox losses, no
+    learned-NMS branch). '' = the full step.
     """
     import jax
     import jax.numpy as jnp
@@ -321,6 +328,10 @@ def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int,
         ``feat`` is this image's slice of the batched trunk output (same
         structure as core/trainer.make_train_step: the trunk must NOT run
         under vmap, whose pallas-stem batching rule VMEM-OOMs at B>1)."""
+        if stop_after == "trunk":
+            tot = 1e-30 * sum(jnp.sum(f.astype(jnp.float32))
+                              for f in jax.tree.leaves(feat))
+            return tot, {"total_loss": tot}
         tgt = sample_rois(
             rois, rois_valid, gt_boxes, gt_valid, rng,
             batch_rois=batch_rois, num_reg_classes=num_reg,
@@ -332,6 +343,16 @@ def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int,
             bbox_means=bbox_means,
             bbox_stds=bbox_stds,
             bbox_weights=tuple(np.asarray(cfg.TRAIN.BBOX_WEIGHTS).tolist()))
+        if stop_after == "sample":
+            tot = 1e-30 * (jnp.sum(tgt["rois"]) + jnp.sum(tgt["bbox_target"]) +
+                           jnp.sum(tgt["label"].astype(jnp.float32)))
+            return tot, {"total_loss": tot}
+        if stop_after == "pool":
+            flat = model.apply({"params": params}, feat, tgt["rois"],
+                               nongt_dim, pool_only=True,
+                               method=type(model).head)
+            tot = 1e-30 * jnp.sum(flat)
+            return tot, {"total_loss": tot}
         cls_score, bbox_pred, fc2 = model.apply(
             {"params": params}, feat, tgt["rois"], nongt_dim,
             method=type(model).head)
@@ -346,7 +367,7 @@ def make_train_step_rcnn(model, cfg, max_rois: int, max_gt: int,
         metrics = {"rcnn_cls_loss": cls_loss, "rcnn_bbox_loss": bbox_loss,
                    "rcnn_acc": accuracy_ignore(cls_score, label)}
 
-        if learn_nms:
+        if learn_nms and stop_after != "head":
             # same branch as the e2e step (core/trainer.py) — the reference's
             # train_rcnn graph ends in nms_multi_target + the rank losses
             # (resnet_v1_101_fpn_rcnn_learn_nms_*.py get_symbol tail)

@@ -168,7 +168,7 @@ def make_train_step(model: RelationRCNN, cfg, stop_after: str = "",
 
     ``stop_after`` is a benchmarking cut (tools/microbench_train_cuts.py): stop
     the per-image graph after the named stage ('rpn', 'anchor_targets',
-    'proposals', 'sample', 'head') and train on the partial loss — the
+    'proposals', 'sample', 'pool', 'head') and train on the partial loss — the
     cumulative-cut methodology that found the FPN inference budget. '' = full.
 
     ``fixed_prefixes`` overrides cfg.network.FIXED_PARAMS for the grad_req=
@@ -293,6 +293,16 @@ def make_train_step(model: RelationRCNN, cfg, stop_after: str = "",
             tot = (rpn_cls_loss + rpn_bbox_loss +
                    1e-30 * (jnp.sum(tgt["rois"]) + jnp.sum(tgt["bbox_target"]) +
                             jnp.sum(tgt["label"].astype(jnp.float32))))
+            return tot, {"total_loss": tot}
+
+        if stop_after == "pool":
+            # ROI feature extraction only (deformable PSROI for DCN): the
+            # head-FC/relation/learned-NMS stages are cut; grads still flow
+            # through pooling into the trunk
+            flat = model.apply({"params": params}, feat, tgt["rois"],
+                               nongt_dim, pool_only=True,
+                               method=type(model).head)
+            tot = rpn_cls_loss + rpn_bbox_loss + 1e-30 * jnp.sum(flat)
             return tot, {"total_loss": tot}
 
         cls_score, bbox_pred, fc2 = model.apply(

@@ -153,9 +153,13 @@ class RelationRCNN(nn.Module):
             return reduced, rpn_cls, rpn_bbox
         return reduced[0], rpn_cls[0], rpn_bbox[0]
 
-    def head(self, reduced_feat, rois, nongt_dim: int):
+    def head(self, reduced_feat, rois, nongt_dim: int, pool_only: bool = False):
         """ROI head. rois: [N, 4] (image coords). Returns
-        (cls_score [N, num_classes], bbox_pred [N, 4*num_reg], fc_all_2_relu [N, D])."""
+        (cls_score [N, num_classes], bbox_pred [N, 4*num_reg], fc_all_2_relu [N, D]).
+
+        ``pool_only`` returns the flattened pooled features early — a
+        benchmarking cut for the forward-stage profile
+        (tools/microbench_train_cuts.py stop_after='pool')."""
         scale = 1.0 / self.rcnn_feat_stride
         if self.dcn:
             # deformable PSROI head (reference rcnn_dcn.py:864-873): a no-trans
@@ -173,6 +177,8 @@ class RelationRCNN(nn.Module):
         else:
             pooled = roi_pool(reduced_feat, rois, scale, 7)
         flat = pooled.reshape(pooled.shape[0], -1).astype(jnp.float32)
+        if pool_only:
+            return flat
 
         if self.use_relation:
             pos_t = extract_position_matrix_t(rois, nongt_dim=nongt_dim)

@@ -200,8 +200,10 @@ class RelationRCNNFPN(nn.Module):
         return ({s: f[0] for s, f in pyramid.items()},
                 {s: (c[0], b[0]) for s, (c, b) in rpn_out.items()})
 
-    def head(self, pyramid, rois, nongt_dim: int):
-        """4-level pooled head with feat_id dispatch."""
+    def head(self, pyramid, rois, nongt_dim: int, pool_only: bool = False):
+        """4-level pooled head with feat_id dispatch. ``pool_only`` returns
+        the flattened selected pooled features early (benchmarking cut,
+        tools/microbench_train_cuts.py stop_after='pool')."""
         fid = roi_level_dispatch(rois)
         pooled_levels = []
         for i, s in enumerate(DISPATCH_STRIDES):
@@ -215,6 +217,8 @@ class RelationRCNNFPN(nn.Module):
         sel = jnp.take_along_axis(
             stacked, fid[None, :, None, None, None], axis=0)[0]
         flat = sel.reshape(sel.shape[0], -1).astype(jnp.float32)
+        if pool_only:
+            return flat
 
         if self.use_relation:
             pos_t = extract_position_matrix_t(rois, nongt_dim=nongt_dim)

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 
-CUTS = ["rpn", "anchor_targets", "proposals", "sample", "head", ""]
+CUTS = ["rpn", "anchor_targets", "proposals", "sample", "pool", "head", ""]
 
 
 # FPN cached-proposal RCNN step (make_train_step_rcnn): no RPN loss; the
@@ -135,15 +135,20 @@ def main():
     H, W = 608, 1024
     rng = np.random.RandomState(0)
 
+    # tunnel liveness probe FIRST (a dead/wedged tunnel hangs silently on the
+    # first dispatch; surface it before the expensive init compile)
+    print("probe: scalar roundtrip...", flush=True)
+    g = jax.jit(lambda a: a + 1)
+    np.asarray(g(jnp.zeros(())))
+    rt = min(_t(lambda: np.asarray(g(jnp.zeros(())))) for _ in range(5))
+    print(f"probe ok (rt {rt * 1e3:.1f} ms); init...", flush=True)
+
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                jnp.zeros((12, H // 2, W // 2)),
                                jnp.asarray([float(H), float(W), 1.0]))
     host_state = jax.tree.map(np.asarray, state)
     max_gt = int(cfg.TPU.get("MAX_GT", 100))
-
-    g = jax.jit(lambda a: a + 1)
-    np.asarray(g(jnp.zeros(())))
-    rt = min(_t(lambda: np.asarray(g(jnp.zeros(())))) for _ in range(5))
+    print("init done", flush=True)
 
     results = {}
     for B in args.batch:
@@ -180,18 +185,29 @@ def main():
                 legs = [l for l in FPN_BWD_LEGS
                         if args.legs is None or l[0] in args.legs]
             else:
-                legs = [("full", ())]
+                # fwd mode: cumulative stop_after cuts of the cached-proposal
+                # step (combine with --no-grad for the forward-only profile)
+                fpn_cuts = [c for c in ("trunk", "sample", "pool", "head", "")
+                            if args.cuts is CUTS or c in args.cuts]
+                legs = [(("ng_" if args.no_grad else "cut_") + (c or "full"),
+                         ("stop", c)) for c in fpn_cuts]
             base = tuple(cfg.network.FIXED_PARAMS)
             prev = 0.0
             for name, extra in legs:
                 if extra is None:
                     step = make_train_step_rcnn(model, cfg, max_rois=R,
                                                 max_gt=max_gt, no_grad=True)
+                elif len(extra) == 2 and extra[0] == "stop":
+                    step = make_train_step_rcnn(model, cfg, max_rois=R,
+                                                max_gt=max_gt,
+                                                stop_after=extra[1],
+                                                no_grad=args.no_grad)
                 else:
                     step = make_train_step_rcnn(model, cfg, max_rois=R,
                                                 max_gt=max_gt,
                                                 fixed_prefixes=base + extra)
                 jstep = jax.jit(step, donate_argnums=(0,))
+                print(f"B={B} fpn_rcnn_{name}: compiling...", flush=True)
                 cur, m = jstep(jax.device_put(host_state), batch)
                 np.asarray(m["total_loss"])
                 best = float("inf")
@@ -223,6 +239,7 @@ def main():
                     step = make_train_step(model, cfg,
                                            fixed_prefixes=base + extra)
                 jstep = jax.jit(step, donate_argnums=(0,))
+                print(f"B={B} leg={name}: compiling...", flush=True)
                 cur, m = jstep(jax.device_put(host_state), batch)
                 np.asarray(m["total_loss"])
                 best = float("inf")
@@ -246,6 +263,7 @@ def main():
             step = make_train_step(model, cfg, stop_after=cut,
                                    no_grad=args.no_grad)
             jstep = jax.jit(step, donate_argnums=(0,))
+            print(f"B={B} cut={cut or 'full'}: compiling...", flush=True)
             cur, m = jstep(jax.device_put(host_state), batch)
             np.asarray(m["total_loss"])
             n = args.steps

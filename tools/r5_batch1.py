@@ -85,11 +85,15 @@ def split3_device_parity():
 
 def main():
     sys.path.insert(0, "/root/repo/tools")
+    # flagship first: its programs compiled fastest in round 4, so a dead
+    # tunnel or a compile stall is visible within minutes, before the
+    # expensive DCN/FPN legs
+    run(["--mode", "fwd", "--no-grad", "--batch", "8"])
+    run(["--mode", "bwd", "--batch", "8"])
     run(["--family", "dcn", "--mode", "bwd", "--batch", "1", "4"])
     run(["--family", "dcn", "--mode", "fwd", "--no-grad", "--batch", "4"])
     run(["--family", "fpn", "--mode", "bwd", "--batch", "1", "4"])
-    run(["--mode", "fwd", "--no-grad", "--batch", "8"])
-    run(["--mode", "bwd", "--batch", "8"])
+    run(["--family", "fpn", "--mode", "fwd", "--no-grad", "--batch", "4"])
     split3_device_parity()
     run_files(["--n", "192", "--batch", "8", "--workers", "4"])
 
