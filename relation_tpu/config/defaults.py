@@ -235,6 +235,14 @@ def default_config() -> AttrDict:
     # backward instead of saved residuals). Off by default; kept as an A/B
     # lever for tools/microbench_train_cuts.py.
     TPU.LNMS_REMAT = False
+    # FPN: allow the fused Pallas geometry-bias/attention kernels in the
+    # model graph (relation modules + learned-NMS head). Default False: on
+    # the PREDICT graph a Pallas call downstream of the pyramid's stride-4/8
+    # convs forfeits their space-to-batch rewrites (+4.8 ms, round 1; the
+    # split-predict modules re-enable Pallas safely). A/B lever for the
+    # TRAIN step, whose XLA-dense learned-NMS branch costs 12.9 ms/img at
+    # first_n=150 (r5 legs).
+    TPU.FPN_ALLOW_PALLAS = False
     # Fire every bucket's first-call XLA compile from parallel threads at
     # pred_eval start (core/evaluator.prewarm_buckets). XLA compilation is
     # mostly off-GIL, so the ~25-40 s/bucket tunnel compiles overlap: measured

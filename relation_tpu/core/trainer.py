@@ -111,7 +111,9 @@ def build_model(cfg, tiny: bool = False):
     )
     if "fpn" in cfg.symbol:
         from relation_tpu.models.fpn import RelationRCNNFPN
-        return RelationRCNNFPN(**common)
+        return RelationRCNNFPN(
+            allow_pallas=bool(cfg.TPU.get("FPN_ALLOW_PALLAS", False)),
+            **common)
     return RelationRCNN(
         dcn="dcn" in cfg.symbol,
         rcnn_feat_stride=int(cfg.network.RCNN_FEAT_STRIDE),
@@ -168,8 +170,9 @@ def make_train_step(model: RelationRCNN, cfg, stop_after: str = "",
 
     ``stop_after`` is a benchmarking cut (tools/microbench_train_cuts.py): stop
     the per-image graph after the named stage ('rpn', 'anchor_targets',
-    'proposals', 'sample', 'pool', 'head') and train on the partial loss — the
-    cumulative-cut methodology that found the FPN inference budget. '' = full.
+    'proposals', 'sample', 'pool', 'head', 'lnms_score', 'lnms_target') and
+    train on the partial loss — the cumulative-cut methodology that found the
+    FPN inference budget. '' = full.
 
     ``fixed_prefixes`` overrides cfg.network.FIXED_PARAMS for the grad_req=
     'null' stop-gradient set (benchmark cuts / the alternate workflow's
@@ -295,6 +298,14 @@ def make_train_step(model: RelationRCNN, cfg, stop_after: str = "",
                             jnp.sum(tgt["label"].astype(jnp.float32))))
             return tot, {"total_loss": tot}
 
+        if stop_after == "feat":
+            # consume the head feature map WITHOUT pooling: forces the c5
+            # trunk (the deformable res5 for DCN — otherwise DCE'd by the
+            # earlier cuts, which only consume the RPN outputs) + conv_new_1
+            tot = (rpn_cls_loss + rpn_bbox_loss +
+                   1e-30 * jnp.sum(feat.astype(jnp.float32)))
+            return tot, {"total_loss": tot}
+
         if stop_after == "pool":
             # ROI feature extraction only (deformable PSROI for DCN): the
             # head-FC/relation/learned-NMS stages are cut; grads still flow
@@ -332,9 +343,19 @@ def make_train_step(model: RelationRCNN, cfg, stop_after: str = "",
                 ln = model.apply(
                     {"params": params}, cls_s, bbox_p, rois, fc2_, im_info,
                     method=type(model).learn_nms)
+                if stop_after == "lnms_score":
+                    # cut after the learned-NMS attention+logit forward
+                    # (before target matching / losses)
+                    t = 1e-30 * (jnp.sum(ln["nms_multi_score"]) +
+                                 jnp.sum(ln["sorted_bbox"]))
+                    return t, (t, t, t, t)
                 nt = nms_multi_target(
                     ln["sorted_bbox"], gt_boxes, gt_valid,
                     jax.lax.stop_gradient(ln["sorted_score"]), threshes)
+                if stop_after == "lnms_target":
+                    t = 1e-30 * (jnp.sum(ln["nms_multi_score"]) +
+                                 jnp.sum(nt.astype(jnp.float32)))
+                    return t, (t, t, t, t)
                 nms_total, pos_l, neg_l = learn_nms_losses(
                     ln["nms_multi_score"], nt, float(cfg.TRAIN.nms_loss_scale),
                     float(cfg.TRAIN.nms_pos_scale))

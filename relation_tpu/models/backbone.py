@@ -455,10 +455,15 @@ class DCNBottleneck(nn.Module):
                                    dilation=self.dilation,
                                    num_groups=self.deform_groups)
         if y.ndim == 4:
-            # per-image op: vmap over the batch (a [0]-slice here would
-            # silently broadcast image 0's deformable branch at B>1)
-            import jax
-            d = jax.vmap(dconv)(y, offset)
+            # natively-batched op (flat row gathers/scatters): a vmap over the
+            # per-image op lowers to XLA *batched* gather/scatter, which the
+            # TPU executes catastrophically slowly — measured r5: res5
+            # backward 17.5 ms/img flat in B via vmap vs flat-indexed form
+            # (ops/deform.py::deformable_conv_batched block comment)
+            from relation_tpu.ops.deform import deformable_conv_batched
+            d = deformable_conv_batched(
+                y.astype(self.dtype), offset, w.astype(self.dtype), kernel=3,
+                dilation=self.dilation, num_groups=self.deform_groups)
         else:
             d = dconv(y, offset)
         y = d.astype(self.dtype)

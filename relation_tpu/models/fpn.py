@@ -214,8 +214,13 @@ class RelationRCNNFPN(nn.Module):
                 p = roi_pool(f, rois, 1.0 / s, 7)
             pooled_levels.append(p)
         stacked = jnp.stack(pooled_levels, axis=0)        # [4, N, 7, 7, C]
-        sel = jnp.take_along_axis(
-            stacked, fid[None, :, None, None, None], axis=0)[0]
+        # one-hot select (NOT take_along_axis): the gather's backward is a
+        # scatter into [4, N, 7, 7, C], which lowers to TPU batched-scatter
+        # under the train step's vmap; the one-hot contraction is exact
+        # (0/1 weights) with a dense elementwise backward
+        fid_oh = jax.nn.one_hot(fid, len(DISPATCH_STRIDES),
+                                dtype=stacked.dtype, axis=0)   # [4, N]
+        sel = jnp.einsum("lnpqc,ln->npqc", stacked, fid_oh)
         flat = sel.reshape(sel.shape[0], -1).astype(jnp.float32)
         if pool_only:
             return flat

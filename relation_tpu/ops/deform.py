@@ -248,6 +248,179 @@ def _dconv_bwd(kernel, stride, dilation, pad, num_groups, res, dout):
 _dconv_core.defvjp(_dconv_fwd, _dconv_bwd)
 
 
+# ---------------------------------------------------------------------------
+# natively-BATCHED deformable conv
+#
+# The train step evaluates the trunk batched; a jax.vmap over the per-image op
+# turns every bilinear gather into an XLA *batched* gather and its transpose
+# into a *batched* scatter, which TPU lowers catastrophically (measured r5:
+# DCN res5 backward 17.5-18.5 ms/img FLAT in B; the whole-train forward's
+# deform stage 9.4 ms/img vs ~3 ms for the same math un-vmapped at inference).
+# Here every corner access of every (batch, tap, group) is ONE flat row-gather
+# from [B*H*W*G, cg] (row = ((b*H + y)*W + x)*G + g), so the backward dx is 4
+# flat row scatter-adds — the layout the TPU gather/scatter path is fast for.
+# ---------------------------------------------------------------------------
+
+def _dconv_col_flat(x, yy, xx, num_groups):
+    """Batched deformable_im2col as 4 flat row-gathers.
+
+    x: [B, H, W, C]; yy/xx: [B, kk, G, Ho, Wo] absolute sample coords.
+    Returns col [B, Ho, Wo, kk, C] (zero outside the map, like
+    _bilinear_zero_pad)."""
+    B, H, W, C = x.shape
+    kk, G = yy.shape[1], yy.shape[2]
+    cg = C // G
+    xr = x.reshape(B * H * W * G, cg)        # row r = ((b*H+y)*W+x)*G + g
+
+    inside = (yy > -1.0) & (yy < H) & (xx > -1.0) & (xx < W)
+    yz = jnp.where(inside, yy, 0.0)
+    xz = jnp.where(inside, xx, 0.0)
+    y0 = jnp.floor(yz)
+    x0 = jnp.floor(xz)
+    ly = (yz - y0).astype(x.dtype)
+    lx = (xz - x0).astype(x.dtype)
+
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None, None, None]
+    g_idx = jnp.arange(G, dtype=jnp.int32)[None, None, :, None, None]
+
+    def corner(yc, xc):
+        ok = (yc >= 0) & (yc <= H - 1) & (xc >= 0) & (xc <= W - 1)
+        yi = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
+        xi = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
+        r = ((b_idx * H + yi) * W + xi) * G + g_idx
+        v = xr[r.reshape(-1)].reshape(r.shape + (cg,))
+        return v * ok[..., None]
+
+    v00 = corner(y0, x0)
+    v01 = corner(y0, x0 + 1)
+    v10 = corner(y0 + 1, x0)
+    v11 = corner(y0 + 1, x0 + 1)
+    col = (v00 * ((1 - ly) * (1 - lx))[..., None]
+           + v01 * ((1 - ly) * lx)[..., None]
+           + v10 * (ly * (1 - lx))[..., None]
+           + v11 * (ly * lx)[..., None]) * inside[..., None]
+    # [B, kk, G, Ho, Wo, cg] -> [B, Ho, Wo, kk, G*cg]
+    Ho, Wo = yy.shape[3], yy.shape[4]
+    return col.transpose(0, 3, 4, 1, 2, 5).reshape(B, Ho, Wo, kk, C)
+
+
+def _dconv_fwd_b(kernel, stride, dilation, pad, num_groups, x, offset, weights):
+    k = kernel
+    yy, xx = jax.vmap(
+        lambda o: _dconv_tap_coords(o, k, stride, dilation, pad, num_groups)
+    )(offset)                                  # coordinate math is elementwise
+    col = _dconv_col_flat(x, yy, xx, num_groups)     # [B, Ho, Wo, kk, C]
+    wmat = weights.reshape(k * k, x.shape[-1], -1)
+    out = jnp.einsum("bhwkc,kco->bhwo", col, wmat,
+                     preferred_element_type=jnp.float32)
+    return out, (x, offset, weights, col)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _dconv_core_b(kernel, stride, dilation, pad, num_groups, x, offset, weights):
+    out, _ = _dconv_fwd_b(kernel, stride, dilation, pad, num_groups,
+                          x, offset, weights)
+    return out
+
+
+def _dconv_bwd_b(kernel, stride, dilation, pad, num_groups, res, dout):
+    """Batched backward: dw/dcol as batched MXU matmuls, doffset by a
+    vectorized 4-corner recompute (4 flat gathers total), dx via the
+    transpose of the flat col gather (4 flat row scatter-adds).
+
+    Mirrors deformable_col2im / col2im_coord
+    (operator_cxx/nn/deformable_im2col.cuh:317-470)."""
+    x, offset, weights, col = res
+    B, H, W, C = x.shape
+    k = kernel
+    kk = k * k
+    G = num_groups
+    cg = C // G
+
+    wmat = weights.reshape(kk, C, -1)
+    dcol = jnp.einsum("bhwo,kco->bhwkc", dout, wmat,
+                      preferred_element_type=jnp.float32).astype(col.dtype)
+    dw = jnp.einsum("bhwkc,bhwo->kco", col, dout,
+                    preferred_element_type=jnp.float32)
+    dw = dw.reshape(weights.shape).astype(weights.dtype)
+
+    yy, xx = jax.vmap(
+        lambda o: _dconv_tap_coords(o, k, stride, dilation, pad, G))(offset)
+
+    # ---- d x: transpose of the flat col gather (4 flat scatter-adds) ----
+    _, pull = jax.vjp(lambda xv: _dconv_col_flat(xv, yy, xx, G), x)
+    dx = pull(dcol)[0].astype(x.dtype)
+
+    # ---- d offset: vectorized corner recompute (4 flat gathers) ----
+    inside = (yy > -1.0) & (yy < H) & (xx > -1.0) & (xx < W)
+    yz = jnp.where(inside, yy, 0.0)
+    xz = jnp.where(inside, xx, 0.0)
+    y0 = jnp.floor(yz)
+    x0 = jnp.floor(xz)
+    ly = (yz - y0).astype(jnp.float32)
+    lx = (xz - x0).astype(jnp.float32)
+    xr = x.reshape(B * H * W * G, cg)
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None, None, None]
+    g_idx = jnp.arange(G, dtype=jnp.int32)[None, None, :, None, None]
+
+    def corner(yc, xc):
+        ok = (yc >= 0) & (yc <= H - 1) & (xc >= 0) & (xc <= W - 1)
+        yi = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
+        xi = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
+        r = ((b_idx * H + yi) * W + xi) * G + g_idx
+        v = xr[r.reshape(-1)].reshape(r.shape + (cg,)).astype(jnp.float32)
+        return v * ok[..., None]
+
+    v00 = corner(y0, x0)
+    v01 = corner(y0, x0 + 1)
+    v10 = corner(y0 + 1, x0)
+    v11 = corner(y0 + 1, x0 + 1)
+    # dcol regrouped to [B, kk, G, Ho, Wo, cg]
+    Ho, Wo = yy.shape[3], yy.shape[4]
+    d = (dcol.reshape(B, Ho, Wo, kk, G, cg)
+         .transpose(0, 3, 4, 1, 2, 5).astype(jnp.float32))
+    gy = (v10 - v00) * (1 - lx)[..., None] + (v11 - v01) * lx[..., None]
+    gx = (v01 - v00) * (1 - ly)[..., None] + (v11 - v10) * ly[..., None]
+    m = inside.astype(jnp.float32)
+    ddy = jnp.sum(d * gy, axis=-1) * m                  # [B, kk, G, Ho, Wo]
+    ddx = jnp.sum(d * gx, axis=-1) * m
+    doff = jnp.stack([ddy, ddx], axis=-1)               # [B, kk, G, Ho, Wo, 2]
+    doff = jnp.moveaxis(doff, (1, 2), (3, 4))           # [B, Ho, Wo, kk, G, 2]
+    # offset layout: [B, Ho, Wo, G, kk, 2] flattened (MXNet per-group taps)
+    doff = doff.transpose(0, 1, 2, 4, 3, 5).reshape(offset.shape)
+    doff = doff.astype(offset.dtype)
+    return dx, doff, dw
+
+
+_dconv_core_b.defvjp(_dconv_fwd_b, _dconv_bwd_b)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "stride", "dilation",
+                                             "pad", "num_groups"))
+def deformable_conv_batched(x: jnp.ndarray, offset: jnp.ndarray,
+                            weights: jnp.ndarray, kernel: int = 3,
+                            stride: int = 1, dilation: int = 1,
+                            pad: int | None = None,
+                            num_groups: int = 4) -> jnp.ndarray:
+    """Batched deformable convolution: x [B, H, W, C], offset [B, Ho, Wo, ch].
+
+    Numerically identical to vmap(deformable_conv) (parity-tested), but every
+    gather/scatter is a flat 2D row operation — the form the TPU is fast for
+    (see the block comment above). Always uses the flat custom VJP except
+    under RELATION_TPU_DEFORM_VJP=autodiff."""
+    k = kernel
+    if pad is None:
+        pad = ((k - 1) // 2) * dilation
+    assert x.ndim == 4 and offset.ndim == 4
+    assert x.shape[-1] % num_groups == 0
+    if _DCONV_VJP_MODE != "autodiff":
+        return _dconv_core_b(k, stride, dilation, pad, num_groups,
+                             x, offset, weights)
+    out, _ = _dconv_fwd_b(k, stride, dilation, pad, num_groups,
+                          x, offset, weights)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("kernel", "stride", "dilation",
                                              "pad", "num_groups"))
 def deformable_conv(x: jnp.ndarray, offset: jnp.ndarray, weights: jnp.ndarray,

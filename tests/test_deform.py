@@ -220,3 +220,41 @@ def test_dcn_bottleneck_batched_per_image(rng):
                                rtol=1e-5, atol=1e-5)
     # the two images genuinely differ (the bug made them share a branch)
     assert np.abs(np.asarray(out_b[0]) - np.asarray(out_b[1])).max() > 1e-3
+
+
+@pytest.mark.parametrize("mode", ["scatter", "autodiff"])
+def test_deformable_conv_batched_matches_vmap(rng, monkeypatch, mode):
+    """deformable_conv_batched (flat row gathers/scatters — the train-path
+    form; a vmap of the per-image op lowers to TPU batched gather/scatter,
+    measured r5 at 17.5 ms/img res5 backward) must match vmap(per-image)
+    exactly: forward AND all three grads, with out-of-bounds samples."""
+    from relation_tpu.ops import deform
+    monkeypatch.setattr(deform, "_DCONV_VJP_MODE", mode)
+
+    B, H, W, C, Co, G = 3, 7, 9, 8, 6, 2
+    x = rng.randn(B, H, W, C).astype(np.float32)
+    w = (rng.randn(3, 3, C, Co) * 0.1).astype(np.float32)
+    off = (rng.randn(B, H, W, G * 2 * 9) * 2.0 + 0.3).astype(np.float32)
+    off[0, 0, 0] = 50.0                  # fully outside -> zero grads there
+    dout = rng.randn(B, H, W, Co).astype(np.float32)
+
+    def loss_batched(x_, o_, w_):
+        out = deform.deformable_conv_batched(x_, o_, w_, kernel=3, dilation=2,
+                                             num_groups=G)
+        return jnp.sum(out * dout)
+
+    def loss_vmap(x_, o_, w_):
+        out = jax.vmap(lambda xi, oi: deform.deformable_conv(
+            xi, oi, w_, kernel=3, dilation=2, num_groups=G))(x_, o_)
+        return jnp.sum(out * dout)
+
+    args = (jnp.asarray(x), jnp.asarray(off), jnp.asarray(w))
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(loss_batched)(*args)),
+        np.asarray(jax.jit(loss_vmap)(*args)), rtol=2e-5,
+        err_msg="forward")
+    gb = jax.jit(jax.grad(loss_batched, argnums=(0, 1, 2)))(*args)
+    gv = jax.jit(jax.grad(loss_vmap, argnums=(0, 1, 2)))(*args)
+    for got, want, name in zip(gb, gv, ["dx", "doffset", "dw"]):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 
-CUTS = ["rpn", "anchor_targets", "proposals", "sample", "pool", "head", ""]
+CUTS = ["rpn", "anchor_targets", "proposals", "sample", "feat", "pool",
+        "head", "lnms_score", "lnms_target", ""]
 
 
 # FPN cached-proposal RCNN step (make_train_step_rcnn): no RPN loss; the
