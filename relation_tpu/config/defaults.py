@@ -236,12 +236,14 @@ def default_config() -> AttrDict:
     # lever for tools/microbench_train_cuts.py.
     TPU.LNMS_REMAT = False
     # FPN: allow the fused Pallas geometry-bias/attention kernels in the
-    # model graph (relation modules + learned-NMS head). Default False: on
-    # the PREDICT graph a Pallas call downstream of the pyramid's stride-4/8
-    # convs forfeits their space-to-batch rewrites (+4.8 ms, round 1; the
-    # split-predict modules re-enable Pallas safely). A/B lever for the
-    # TRAIN step, whose XLA-dense learned-NMS branch costs 12.9 ms/img at
-    # first_n=150 (r5 legs).
+    # model graph. False (default): all-XLA — on the PREDICT graph a Pallas
+    # call downstream of the pyramid's stride-4/8 convs forfeits their
+    # space-to-batch rewrites (+4.8 ms, round 1; the split-predict modules
+    # re-enable Pallas safely). "lnms": the learned-NMS head only (its
+    # [C, first_n, first_n] tiles are VMEM-safe) — the TRAIN-step lever for
+    # the XLA-dense branch's 12.9 ms/img (r5 legs). True: also the head
+    # relation modules — their [N, nongt] pair tiles VMEM-OOM the kernel at
+    # FPN head shapes (measured r5); compile-time failure, not for use.
     TPU.FPN_ALLOW_PALLAS = False
     # Fire every bucket's first-call XLA compile from parallel threads at
     # pred_eval start (core/evaluator.prewarm_buckets). XLA compilation is

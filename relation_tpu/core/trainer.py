@@ -111,8 +111,12 @@ def build_model(cfg, tiny: bool = False):
     )
     if "fpn" in cfg.symbol:
         from relation_tpu.models.fpn import RelationRCNNFPN
+        # TPU.FPN_ALLOW_PALLAS: False | True | "lnms" (learned-NMS head only
+        # — the head relations' pair tiles VMEM-OOM the geom-bias kernel)
+        ap = cfg.TPU.get("FPN_ALLOW_PALLAS", False)
         return RelationRCNNFPN(
-            allow_pallas=bool(cfg.TPU.get("FPN_ALLOW_PALLAS", False)),
+            allow_pallas=(ap is True),
+            allow_pallas_lnms=(ap is True or ap == "lnms"),
             **common)
     return RelationRCNN(
         dcn="dcn" in cfg.symbol,

@@ -127,6 +127,11 @@ class RelationRCNNFPN(nn.Module):
     # stride-4/8 space-to-batch conv rewrites (round-1 note: +5.6 ms). Kept as
     # a switch for in-context A/B (tools/microbench_fpn.py).
     allow_pallas: bool = False
+    # Pallas for the LEARNED-NMS head only (geometry-bias kernel at
+    # [C, first_n, first_n] — small, VMEM-safe) while the head relation
+    # modules stay XLA (their [N, nongt] pair tiles VMEM-OOM the kernel at
+    # FPN head shapes, measured r5). None = follow allow_pallas.
+    allow_pallas_lnms: bool | None = None
     # XLA learned-NMS attention: active-class gather cap (cfg.TPU.NMS_COMPACT_CLASSES)
     compact_classes: int = 32
     # stop_gradient after this trunk stage (FIXED_PARAMS grad_req='null'
@@ -168,11 +173,13 @@ class RelationRCNNFPN(nn.Module):
         self.bbox_pred = nn.Dense(4 * num_reg, name="bbox_pred",
                                   kernel_init=_norm_init)
         if self.use_learn_nms:
+            ap_lnms = (self.allow_pallas if self.allow_pallas_lnms is None
+                       else self.allow_pallas_lnms)
             self.learn_nms_head = LearnNMSHead(
                 num_fg_classes=self.num_classes - 1, first_n=self.first_n,
                 num_thresh=self.num_thresh, class_agnostic=self.class_agnostic,
                 bbox_means=self.bbox_means, bbox_stds=self.bbox_stds,
-                attn_dtype=self.head_dtype, allow_pallas=self.allow_pallas,
+                attn_dtype=self.head_dtype, allow_pallas=ap_lnms,
                 geom_emb_dtype=self.geom_emb_dtype,
                 compact_classes=self.compact_classes)
 

@@ -30,7 +30,6 @@ import flax.linen as nn
 from relation_tpu.ops.boxes import refine_bbox
 from relation_tpu.ops.embeddings import (extract_rank_embedding,
                                          extract_multi_position_matrix_t)
-from relation_tpu.ops.gathers import take_along0, take_rows
 from relation_tpu.models.relation import NMSRelationModule
 
 _norm_init = nn.initializers.normal(0.01)
@@ -86,21 +85,27 @@ class LearnNMSHead(nn.Module):
         prob_nobg = cls_prob[:, 1:]                               # [N, C]
 
         # per-class descending sort; take first_n (reference :442-449).
-        # take_along0/take_rows: forward-identical gathers whose backward is a
-        # one-hot matmul, not a scatter-add (ops/gathers.py — the rank-gather
-        # scatter was 0.68 ms of the flagship train step)
+        # EVERY rank gather is a one-hot contraction, forward AND backward:
+        # numerically exact (0/1 weights, single-term sums), and under the
+        # train step's vmap a gather forward lowers to TPU batched-gather
+        # (the r5 deform cliff: serialized row loops) while these are
+        # batched MXU matmuls. The backward-only form lived in
+        # ops/gathers.py (0.68 ms scatter -> matmul, round 3); r5 moved the
+        # forward too (the learn_nms.apply stage measured 2.01 ms/img of
+        # the B=8 train forward).
         rank_idx = jnp.argsort(-prob_nobg, axis=0)[:F]            # [F, C]
-        sorted_score = take_along0(prob_nobg, rank_idx)           # [F, C]
+        rank_oh = jax.nn.one_hot(rank_idx, prob_nobg.shape[0],
+                                 dtype=jnp.float32)               # [F, C, N]
+        sorted_score = jnp.einsum("fcn,nc->fc", rank_oh, prob_nobg)
 
         if self.class_agnostic:
             # refined[:, :, 0] gathered per class: [F, C, 4]
-            sorted_bbox = refined[:, :, 0][rank_idx]              # [F, C, 4]
+            sorted_bbox = jnp.einsum("fcn,nk->fck", rank_oh, refined[:, :, 0])
         else:
-            # pick each class's own regression group
+            # pick each class's own regression group: contract n, align c
             refined_cls = jnp.transpose(refined, (0, 2, 1))       # [N, K, 4]
-            gathered = refined_cls[rank_idx]                      # [F, C, K, 4]
-            cls_ids = jnp.arange(C)
-            sorted_bbox = gathered[:, cls_ids, cls_ids, :]        # [F, C, 4]
+            sorted_bbox = jnp.einsum("fcn,nck->fck", rank_oh,
+                                     refined_cls[:, :C, :])
 
         # rank embedding -> 128 (reference :462-465)
         rank_emb = extract_rank_embedding(F, 1024)
@@ -114,7 +119,8 @@ class LearnNMSHead(nn.Module):
         # roi feature embedding -> 128, gathered in rank order (reference :469-474)
         roi_emb = nn.Dense(128, name="roi_feat_embedding", dtype=self.dtype,
                            kernel_init=_norm_init)(roi_feat)      # [N, 128]
-        sorted_roi_feat = take_rows(roi_emb, rank_idx)            # [F, C, 128]
+        sorted_roi_feat = jnp.einsum(
+            "fcn,nd->fcd", rank_oh, roi_emb.astype(jnp.float32))  # [F, C, 128]
 
         nms_embedding_feat = sorted_roi_feat + rank_feat[:, None, :]
 

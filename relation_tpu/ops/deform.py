@@ -27,6 +27,8 @@ import os
 import jax
 import jax.numpy as jnp
 
+from relation_tpu.ops.nms import _on_tpu
+
 # Backward-mode selector, read at trace time (A/B via
 # RELATION_TPU_DEFORM_VJP, or monkeypatch + jax.clear_caches() in one
 # process):
@@ -38,14 +40,20 @@ import jax.numpy as jnp
 #                3x SLOWER than "scatter" at res5 scale (38x64 map, B=4:
 #                res5 backward 20.3 vs 6.3 ms/img), kept for small maps.
 #   "autodiff" — no custom VJP at all (~144 scatter-adds per conv).
+#   "kernel"   — batched path only: dx via the fused Pallas col2im matmul
+#                (ops/pallas/dconv_col2im.py) on TPU, falling back to
+#                "scatter" off-TPU / per-image. Default: the scatter dx
+#                measured 17.5-20.2 ms/img for the res5 backward (r5 legs —
+#                XLA serializes TPU scatter-adds); the kernel streams the
+#                same contraction through the MXU.
 # RELATION_TPU_DEFORM_AUTODIFF=1 is the legacy spelling of "autodiff".
-_DCONV_VJP_MODE = os.environ.get("RELATION_TPU_DEFORM_VJP", "scatter")
+_DCONV_VJP_MODE = os.environ.get("RELATION_TPU_DEFORM_VJP", "kernel")
 if os.environ.get("RELATION_TPU_DEFORM_AUTODIFF", "0") == "1":
     _DCONV_VJP_MODE = "autodiff"
-if _DCONV_VJP_MODE not in ("scatter", "hat", "autodiff"):
+if _DCONV_VJP_MODE not in ("kernel", "scatter", "hat", "autodiff"):
     raise ValueError(
         f"RELATION_TPU_DEFORM_VJP={_DCONV_VJP_MODE!r}: expected one of "
-        "'scatter', 'hat', 'autodiff'")
+        "'kernel', 'scatter', 'hat', 'autodiff'")
 
 
 def _bilinear_zero_pad(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
@@ -179,11 +187,12 @@ def _dconv_bwd(kernel, stride, dilation, pad, num_groups, res, dout):
     # dcol regrouped per (tap, group): [kk, G, Q, cg]
     dcol_tg = jnp.moveaxis(dcol.reshape(Q, kk, G, cg), (1, 2), (0, 1))
 
-    if _DCONV_VJP_MODE == "scatter":
+    if _DCONV_VJP_MODE in ("scatter", "kernel"):
         # ---- d x: transpose of the col gather (XLA scatter-adds). The
         # dense hat-row alternative below materializes A=[kk*Q, H*W]
         # (~200 MB/group at res5 scale) and measured 3x slower in the DCN
-        # train step; the 4-corner sparsity only scatter exploits. ----
+        # train step; the 4-corner sparsity only scatter exploits.
+        # ("kernel" applies to the batched op; per-image falls back here.)
         _, pull = jax.vjp(lambda xv: _dconv_col(xv, yy, xx, G), x)
         dx = pull(dcol)[0].astype(x.dtype)
     else:
@@ -325,8 +334,10 @@ def _dconv_core_b(kernel, stride, dilation, pad, num_groups, x, offset, weights)
 
 def _dconv_bwd_b(kernel, stride, dilation, pad, num_groups, res, dout):
     """Batched backward: dw/dcol as batched MXU matmuls, doffset by a
-    vectorized 4-corner recompute (4 flat gathers total), dx via the
-    transpose of the flat col gather (4 flat row scatter-adds).
+    vectorized 4-corner recompute (4 flat gathers total), dx per
+    _DCONV_VJP_MODE: the fused Pallas col2im matmul kernel on TPU
+    ('kernel', default) or the transpose of the flat col gather
+    (flat row scatter-adds).
 
     Mirrors deformable_col2im / col2im_coord
     (operator_cxx/nn/deformable_im2col.cuh:317-470)."""
@@ -347,9 +358,42 @@ def _dconv_bwd_b(kernel, stride, dilation, pad, num_groups, res, dout):
     yy, xx = jax.vmap(
         lambda o: _dconv_tap_coords(o, k, stride, dilation, pad, G))(offset)
 
-    # ---- d x: transpose of the flat col gather (4 flat scatter-adds) ----
-    _, pull = jax.vjp(lambda xv: _dconv_col_flat(xv, yy, xx, G), x)
-    dx = pull(dcol)[0].astype(x.dtype)
+    if _DCONV_VJP_MODE == "kernel" and _on_tpu():
+        # ---- d x: fused Pallas col2im (Khatri-Rao matmul on the MXU;
+        # the scatter form below serializes on TPU: 17.5-20.2 ms/img at
+        # res5 scale, r5 legs) ----
+        from relation_tpu.ops.pallas.dconv_col2im import (dconv_col2im,
+                                                          hat_rows_masked)
+        Ho, Wo = yy.shape[3], yy.shape[4]
+        Q = Ho * Wo
+        Rr = kk * Q
+        inside_b = (yy > -1.0) & (yy < H) & (xx > -1.0) & (xx < W)
+        yzb = jnp.where(inside_b, yy, 0.0)
+        xzb = jnp.where(inside_b, xx, 0.0)
+
+        def bg_rows(c):
+            # [B, kk, G, Ho, Wo] -> (b, g)-major rows r = k*Q + q
+            return (c.reshape(B, kk, G, Q).transpose(0, 2, 1, 3)
+                    .reshape(B * G, Rr))
+
+        mdt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+        by = hat_rows_masked(bg_rows(yzb), bg_rows(inside_b), H, mdt)
+        bx = hat_rows_masked(bg_rows(xzb), bg_rows(inside_b), W, mdt)
+        d_rows = (dcol.reshape(B, Ho, Wo, kk, G, cg)
+                  .transpose(0, 4, 3, 1, 2, 5)
+                  .reshape(B * G, Rr, cg).astype(mdt))
+        pad_r = (-Rr) % 256
+        if pad_r:
+            by = jnp.pad(by, ((0, 0), (0, pad_r), (0, 0)))
+            bx = jnp.pad(bx, ((0, 0), (0, pad_r), (0, 0)))
+            d_rows = jnp.pad(d_rows, ((0, 0), (0, pad_r), (0, 0)))
+        out = dconv_col2im(by, bx, d_rows, H, W)       # [B*G, H*W, cg] f32
+        dx = (out.reshape(B, G, H, W, cg).transpose(0, 2, 3, 1, 4)
+              .reshape(B, H, W, C).astype(x.dtype))
+    else:
+        # ---- d x: transpose of the flat col gather (flat scatter-adds) ----
+        _, pull = jax.vjp(lambda xv: _dconv_col_flat(xv, yy, xx, G), x)
+        dx = pull(dcol)[0].astype(x.dtype)
 
     # ---- d offset: vectorized corner recompute (4 flat gathers) ----
     inside = (yy > -1.0) & (yy < H) & (xx > -1.0) & (xx < W)

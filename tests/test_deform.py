@@ -258,3 +258,46 @@ def test_deformable_conv_batched_matches_vmap(rng, monkeypatch, mode):
     for got, want, name in zip(gb, gv, ["dx", "doffset", "dw"]):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_dconv_col2im_kernel_matches_scatter(rng, monkeypatch):
+    """The fused Pallas col2im (dx of the batched deformable-conv backward,
+    interpret mode on CPU) must match the scatter-transpose dx exactly —
+    same hat-row weights, f32 accumulation."""
+    from relation_tpu.ops import deform
+    from relation_tpu.ops.pallas.dconv_col2im import (dconv_col2im,
+                                                      hat_rows_masked)
+
+    B, H, W, C, G = 2, 6, 7, 8, 2
+    kk, cg = 9, C // G
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    off = jnp.asarray((rng.randn(B, H, W, G * 2 * 9) * 2.0 + 0.3)
+                      .astype(np.float32))
+    dcol = jnp.asarray(rng.randn(B, H, W, kk, C).astype(np.float32))
+
+    yy, xx = jax.vmap(lambda o: deform._dconv_tap_coords(o, 3, 1, 1, 1, G))(off)
+    # scatter reference: pull dcol through the flat col gather
+    _, pull = jax.vjp(lambda xv: deform._dconv_col_flat(xv, yy, xx, G), x)
+    dx_ref = np.asarray(pull(dcol)[0])
+
+    inside = (yy > -1.0) & (yy < H) & (xx > -1.0) & (xx < W)
+    yz = jnp.where(inside, yy, 0.0)
+    xz = jnp.where(inside, xx, 0.0)
+    Q = H * W
+    Rr = kk * Q
+
+    def bg_rows(c):
+        return c.reshape(B, kk, G, Q).transpose(0, 2, 1, 3).reshape(B * G, Rr)
+
+    by = hat_rows_masked(bg_rows(yz), bg_rows(inside), H, jnp.float32)
+    bx = hat_rows_masked(bg_rows(xz), bg_rows(inside), W, jnp.float32)
+    d_rows = (dcol.reshape(B, H, W, kk, G, cg).transpose(0, 4, 3, 1, 2, 5)
+              .reshape(B * G, Rr, cg))
+    pad_r = (-Rr) % 256
+    by = jnp.pad(by, ((0, 0), (0, pad_r), (0, 0)))
+    bx = jnp.pad(bx, ((0, 0), (0, pad_r), (0, 0)))
+    d_rows = jnp.pad(d_rows, ((0, 0), (0, pad_r), (0, 0)))
+    out = dconv_col2im(by, bx, d_rows, H, W, interpret=True)
+    dx_k = np.asarray(out.reshape(B, G, H, W, cg).transpose(0, 2, 3, 1, 4)
+                      .reshape(B, H, W, C))
+    np.testing.assert_allclose(dx_k, dx_ref, rtol=2e-5, atol=2e-5)
