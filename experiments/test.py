@@ -151,12 +151,14 @@ def main():
               f"(source={meta.get('source', '?')})")
         if meta["roi_method"] == "pool":
             # full parity mode: exact pre-NMS top-k for FPN proposals, f32
-            # geometric-bias sinusoid, and the single dense attention path
-            # (the compact-gather lax.cond branch tiles its einsums over m
-            # classes instead of C — last-ulp differences per image)
+            # geometric-bias sinusoid, f32 deformable-PSROI pooling, and the
+            # single dense attention path (the compact-gather lax.cond branch
+            # tiles its einsums over m classes instead of C — last-ulp
+            # differences per image)
             cfg.TPU.FPN_TOPK = "exact"
             cfg.TPU.GEOM_EMB_DTYPE = "float32"
             cfg.TPU.NMS_COMPACT_CLASSES = 0
+            cfg.TPU.DCN_POOL_DTYPE = "float32"
 
     from relation_tpu.utils.compile_cache import enable_from_env_or_cfg
     enable_from_env_or_cfg(cfg)

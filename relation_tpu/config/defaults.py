@@ -206,6 +206,11 @@ def default_config() -> AttrDict:
     # ROI feature extraction: "align" (MXU ROIAlign, TPU default) or "pool"
     # (exact MXNet ROIPooling semantics for reference parity).
     TPU.ROI_METHOD = "align"
+    # DCN deformable-PSROI pooling compute dtype ("bfloat16" | "float32").
+    # bf16 halves the separable-einsum traffic (head backward 8.0 ms/img at
+    # B=4 in f32, r5 legs); parity eval of converted reference weights flips
+    # this to "float32" (experiments/test.py __meta__ handling).
+    TPU.DCN_POOL_DTYPE = "bfloat16"
     # FPN proposal pre-NMS top-k over the ~622k pyramid anchors: "approx"
     # (lax.approx_max_k, recall 0.999, 385 us) or "exact" (lax.top_k — a full
     # sort on TPU, ~920 us). Parity eval of converted reference weights flips

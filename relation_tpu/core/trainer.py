@@ -120,6 +120,9 @@ def build_model(cfg, tiny: bool = False):
             **common)
     return RelationRCNN(
         dcn="dcn" in cfg.symbol,
+        dcn_pool_dtype=(jnp.float32 if tiny or
+                        str(cfg.TPU.get("DCN_POOL_DTYPE", "bfloat16"))
+                        != "bfloat16" else jnp.bfloat16),
         rcnn_feat_stride=int(cfg.network.RCNN_FEAT_STRIDE),
         **common,
     )

@@ -56,6 +56,11 @@ class RelationRCNN(nn.Module):
     bbox_stds: tuple | None = None
     roi_method: str = "align"           # "align" (TPU default) | "pool" (exact ref)
     dcn: bool = False                   # deformable res5 + deformable ROI pooling
+    # compute dtype for the DCN deformable-PSROI pooling (both passes): the
+    # separable-MXU einsums stage in this dtype. bf16 on TPU (the head
+    # backward measured 8.0 ms/img at B=4 in f32, r5); parity eval flips to
+    # f32 via TPU.DCN_POOL_DTYPE (experiments/test.py __meta__ handling)
+    dcn_pool_dtype: Any = jnp.float32
     rcnn_feat_stride: int = 16
     conv_dtype: Any = jnp.bfloat16
     # compute dtype for the ROI-head FCs and relation attention matmuls
@@ -165,12 +170,13 @@ class RelationRCNN(nn.Module):
             # deformable PSROI head (reference rcnn_dcn.py:864-873): a no-trans
             # pooled feature predicts per-bin offsets, which steer a second pool
             from relation_tpu.ops.deform import deformable_psroi_pool
-            f32 = reduced_feat.astype(jnp.float32)
-            offset_t = deformable_psroi_pool(f32, rois, None, scale,
+            pf = reduced_feat.astype(self.dcn_pool_dtype)
+            offset_t = deformable_psroi_pool(pf, rois, None, scale,
                                              pooled_size=7, sample_per_part=4)
-            off = self.offset_fc(offset_t.reshape(rois.shape[0], -1))
+            off = self.offset_fc(
+                offset_t.reshape(rois.shape[0], -1).astype(jnp.float32))
             off = off.reshape(-1, 2, 7, 7)
-            pooled = deformable_psroi_pool(f32, rois, off, scale, pooled_size=7,
+            pooled = deformable_psroi_pool(pf, rois, off, scale, pooled_size=7,
                                            sample_per_part=4, trans_std=0.1)
         elif self.roi_method == "align":
             pooled = roi_align_mxu(reduced_feat, rois, scale, 7)

@@ -401,8 +401,13 @@ def _dconv_bwd_b(kernel, stride, dilation, pad, num_groups, res, dout):
     xz = jnp.where(inside, xx, 0.0)
     y0 = jnp.floor(yz)
     x0 = jnp.floor(xz)
-    ly = (yz - y0).astype(jnp.float32)
-    lx = (xz - x0).astype(jnp.float32)
+    # corner values / interpolation factors ride the conv's compute dtype
+    # (bf16 on the TPU policy — the [B, kk, G, Q, cg] corner tensors are
+    # ~45M elements; f32 here doubled the recompute's HBM traffic), with the
+    # final dot over cg accumulating in f32
+    cdt = x.dtype
+    ly = (yz - y0).astype(cdt)
+    lx = (xz - x0).astype(cdt)
     xr = x.reshape(B * H * W * G, cg)
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None, None, None, None]
     g_idx = jnp.arange(G, dtype=jnp.int32)[None, None, :, None, None]
@@ -412,7 +417,7 @@ def _dconv_bwd_b(kernel, stride, dilation, pad, num_groups, res, dout):
         yi = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
         xi = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
         r = ((b_idx * H + yi) * W + xi) * G + g_idx
-        v = xr[r.reshape(-1)].reshape(r.shape + (cg,)).astype(jnp.float32)
+        v = xr[r.reshape(-1)].reshape(r.shape + (cg,))
         return v * ok[..., None]
 
     v00 = corner(y0, x0)
@@ -422,12 +427,13 @@ def _dconv_bwd_b(kernel, stride, dilation, pad, num_groups, res, dout):
     # dcol regrouped to [B, kk, G, Ho, Wo, cg]
     Ho, Wo = yy.shape[3], yy.shape[4]
     d = (dcol.reshape(B, Ho, Wo, kk, G, cg)
-         .transpose(0, 3, 4, 1, 2, 5).astype(jnp.float32))
+         .transpose(0, 3, 4, 1, 2, 5).astype(cdt))
     gy = (v10 - v00) * (1 - lx)[..., None] + (v11 - v01) * lx[..., None]
     gx = (v01 - v00) * (1 - ly)[..., None] + (v11 - v10) * ly[..., None]
     m = inside.astype(jnp.float32)
-    ddy = jnp.sum(d * gy, axis=-1) * m                  # [B, kk, G, Ho, Wo]
-    ddx = jnp.sum(d * gx, axis=-1) * m
+    # dot over cg with f32 accumulation (bf16 products, f32 sum)
+    ddy = jnp.sum((d * gy).astype(jnp.float32), axis=-1) * m
+    ddx = jnp.sum((d * gx).astype(jnp.float32), axis=-1) * m
     doff = jnp.stack([ddy, ddx], axis=-1)               # [B, kk, G, Ho, Wo, 2]
     doff = jnp.moveaxis(doff, (1, 2), (3, 4))           # [B, Ho, Wo, kk, G, 2]
     # offset layout: [B, Ho, Wo, G, kk, 2] flattened (MXNet per-group taps)
