@@ -595,21 +595,40 @@ def deformable_psroi_pool(feat: jnp.ndarray, rois: jnp.ndarray,
 
         dt = jnp.bfloat16 if feat.dtype == jnp.bfloat16 else jnp.float32
         fdt = feat.astype(dt)
+        # contract the LARGER spatial axis first so the staged intermediate
+        # carries the smaller one (the roi_align_mxu lesson: the res5 map is
+        # 38x64, so w-first stages [., H, C] at 0.6x the [., W, C] traffic)
+        w_first = W >= H
         if trans is None:
-            # no per-bin y-shift: By is constant along pw — one big matmul
-            a = jnp.einsum("rph,hwc->rpwc", By[:, :, 0].astype(dt), fdt,
-                           preferred_element_type=jnp.float32)  # [R,P,W,C]
-            summed = jnp.einsum("rpwc,rpqw->rpqc", a, Bx.astype(dt),
-                                preferred_element_type=jnp.float32)
+            # no per-bin shifts: By is constant along pw, Bx along ph —
+            # one big matmul each way
+            if w_first:
+                a = jnp.einsum("rqw,hwc->rqhc", Bx[:, 0].astype(dt), fdt,
+                               preferred_element_type=jnp.float32)  # [R,P,H,C]
+                summed = jnp.einsum("rph,rqhc->rpqc", By[:, :, 0].astype(dt),
+                                    a, preferred_element_type=jnp.float32)
+            else:
+                a = jnp.einsum("rph,hwc->rpwc", By[:, :, 0].astype(dt), fdt,
+                               preferred_element_type=jnp.float32)  # [R,P,W,C]
+                summed = jnp.einsum("rpwc,rpqw->rpqc", a, Bx.astype(dt),
+                                    preferred_element_type=jnp.float32)
         else:
-            # per-bin shifts: chunk over the bin row to bound the [.,W,C]
+            # per-bin shifts: chunk over the bin row to bound the staged
             # intermediate at the no-trans size
             rows = []
             for ph in range(P):
-                a = jnp.einsum("rqh,hwc->rqwc", By[:, ph].astype(dt), fdt,
-                               preferred_element_type=jnp.float32)
-                rows.append(jnp.einsum("rqwc,rqw->rqc", a, Bx[:, ph].astype(dt),
-                                       preferred_element_type=jnp.float32))
+                if w_first:
+                    a = jnp.einsum("rqw,hwc->rqhc", Bx[:, ph].astype(dt), fdt,
+                                   preferred_element_type=jnp.float32)
+                    rows.append(jnp.einsum(
+                        "rqhc,rqh->rqc", a, By[:, ph].astype(dt),
+                        preferred_element_type=jnp.float32))
+                else:
+                    a = jnp.einsum("rqh,hwc->rqwc", By[:, ph].astype(dt), fdt,
+                                   preferred_element_type=jnp.float32)
+                    rows.append(jnp.einsum(
+                        "rqwc,rqw->rqc", a, Bx[:, ph].astype(dt),
+                        preferred_element_type=jnp.float32))
             summed = jnp.stack(rows, axis=1)                    # [R,P,P,C]
         summed = summed.astype(feat.dtype)
         out = jnp.where(cnt[..., None] > 0,
