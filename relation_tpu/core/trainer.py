@@ -347,11 +347,13 @@ def make_train_step(model: RelationRCNN, cfg, stop_after: str = "",
         if learn_nms and stop_after != "head":
             def lnms_branch(params, cls_s, bbox_p, rois, fc2_, im_info,
                             gt_boxes, gt_valid):
+                probe = {"lnms_embed": "embed", "lnms_attn": "attn"}.get(
+                    stop_after, "")
                 ln = model.apply(
                     {"params": params}, cls_s, bbox_p, rois, fc2_, im_info,
-                    method=type(model).learn_nms)
-                if stop_after == "lnms_score":
-                    # cut after the learned-NMS attention+logit forward
+                    probe=probe, method=type(model).learn_nms)
+                if stop_after in ("lnms_embed", "lnms_attn", "lnms_score"):
+                    # cut after embeddings / attention / the full logit fwd
                     # (before target matching / losses)
                     t = 1e-30 * (jnp.sum(ln["nms_multi_score"]) +
                                  jnp.sum(ln["sorted_bbox"]))

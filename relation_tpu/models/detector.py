@@ -202,9 +202,9 @@ class RelationRCNN(nn.Module):
                 fc_all_2_relu)
 
     def learn_nms(self, cls_score, bbox_pred, rois, roi_feat, im_info,
-                  class_thresh: float = 0.0):
+                  class_thresh: float = 0.0, probe: str = ""):
         return self.learn_nms_head(cls_score, bbox_pred, rois, roi_feat, im_info,
-                                   class_thresh=class_thresh)
+                                   class_thresh=class_thresh, probe=probe)
 
     def __call__(self, image, rois, im_info, nongt_dim: int):
         """Convenience single-pass forward (inference graph shape-check path)."""

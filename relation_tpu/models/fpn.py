@@ -246,9 +246,10 @@ class RelationRCNNFPN(nn.Module):
         return self.cls_score(fc2), self.bbox_pred(fc2), fc2
 
     def learn_nms(self, cls_score, bbox_pred_arr, rois, roi_feat, im_info,
-                  class_thresh: float = 0.0):
+                  class_thresh: float = 0.0, probe: str = ""):
         return self.learn_nms_head(cls_score, bbox_pred_arr, rois, roi_feat,
-                                   im_info, class_thresh=class_thresh)
+                                   im_info, class_thresh=class_thresh,
+                                   probe=probe)
 
     def __call__(self, image, rois, im_info, nongt_dim: int):
         pyramid, rpn_out = self.features_and_rpn(image)

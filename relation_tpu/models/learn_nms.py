@@ -64,13 +64,19 @@ class LearnNMSHead(nn.Module):
 
     @nn.compact
     def __call__(self, cls_score, bbox_pred, rois, roi_feat, im_info,
-                 class_thresh: float = 0.0):
+                 class_thresh: float = 0.0, probe: str = ""):
         """``class_thresh``: inference-time valid-class filter (reference
         operator_py/learn_nms.py:296-309 + TEST.LEARN_NMS_CLASS_SCORE_TH=0.01):
         classes whose best score falls below min(class_thresh, global best)
         get conditional score 0 — exactly the reference's restore-with-zeros
         layout (learn_nms.py:366-377). 0.0 (training / default) disables it;
-        the reference train graph computes every class."""
+        the reference train graph computes every class.
+
+        ``probe``: benchmarking cut inside the head ('embed' = stop after the
+        sort/gather/rank+roi embeddings, 'attn' = stop after the relation
+        attention; tools/microbench_train_cuts.py lnms_embed/lnms_attn) —
+        returns the same dict with the uncut tails replaced by cheap
+        projections of the cut point so callers stay shape-compatible."""
         C = self.num_fg_classes
         F = self.first_n
 
@@ -123,6 +129,15 @@ class LearnNMSHead(nn.Module):
             "fcn,nd->fcd", rank_oh, roi_emb.astype(jnp.float32))  # [F, C, 128]
 
         nms_embedding_feat = sorted_roi_feat + rank_feat[:, None, :]
+        if probe == "embed":
+            # cut: everything through the embeddings (sort, one-hot gathers,
+            # geometry matrix, rank/roi FCs); attention + logit skipped
+            s = (1e-30 * (jnp.sum(nms_embedding_feat) +
+                          jnp.sum(nms_position_matrix_t)))
+            z = jnp.zeros((F, C, self.num_thresh)) + s
+            return {"nms_multi_score": sorted_score[..., None] + z,
+                    "sorted_bbox": sorted_bbox, "sorted_score": sorted_score,
+                    "nms_conditional_score": z}
 
         # inference-time valid-class filter (reference learn_nms.py:296-309):
         # classes below min(class_thresh, global best) skip both attention
@@ -141,6 +156,13 @@ class LearnNMSHead(nn.Module):
             nms_embedding_feat, nms_position_matrix_t,
             active=None if active_f is None else active_f.astype(jnp.int32))
         feat = nn.relu(nms_embedding_feat + attention)            # [F, C, 128]
+        if probe == "attn":
+            # cut: through the relation attention; logit layer skipped
+            s = 1e-30 * jnp.sum(feat)
+            z = jnp.zeros((F, C, self.num_thresh)) + s
+            return {"nms_multi_score": sorted_score[..., None] + z,
+                    "sorted_bbox": sorted_bbox, "sorted_score": sorted_score,
+                    "nms_conditional_score": z}
 
         logit = nn.Dense(self.num_thresh, name="nms_logit", dtype=self.dtype,
                          kernel_init=_norm_init,

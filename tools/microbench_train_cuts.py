@@ -37,7 +37,7 @@ import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 
 CUTS = ["rpn", "anchor_targets", "proposals", "sample", "feat", "pool",
-        "head", "lnms_score", "lnms_target", ""]
+        "head", "lnms_embed", "lnms_attn", "lnms_score", "lnms_target", ""]
 
 
 # FPN cached-proposal RCNN step (make_train_step_rcnn): no RPN loss; the
