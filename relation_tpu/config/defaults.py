@@ -211,6 +211,11 @@ def default_config() -> AttrDict:
     # B=4 in f32, r5 legs); parity eval of converted reference weights flips
     # this to "float32" (experiments/test.py __meta__ handling).
     TPU.DCN_POOL_DTYPE = "bfloat16"
+    # C4 learned-NMS attention implementation: "pallas" (fused geom-bias /
+    # per-class skip kernels — the measured inference fast path) or "xla"
+    # (the batched dense/compact attention). Train-step A/B lever: under the
+    # train vmap the per-class kernel becomes B*C sequential grid programs.
+    TPU.LNMS_ATTN = "pallas"
     # FPN proposal pre-NMS top-k over the ~622k pyramid anchors: "approx"
     # (lax.approx_max_k, recall 0.999, 385 us) or "exact" (lax.top_k — a full
     # sort on TPU, ~920 us). Parity eval of converted reference weights flips

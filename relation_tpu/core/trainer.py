@@ -123,6 +123,9 @@ def build_model(cfg, tiny: bool = False):
         dcn_pool_dtype=(jnp.float32 if tiny or
                         str(cfg.TPU.get("DCN_POOL_DTYPE", "bfloat16"))
                         != "bfloat16" else jnp.bfloat16),
+        # "pallas" (default, the inference fast path) | "xla" (the batched
+        # dense/compact attention — train-step A/B, see detector.py)
+        lnms_allow_pallas=(str(cfg.TPU.get("LNMS_ATTN", "pallas")) != "xla"),
         rcnn_feat_stride=int(cfg.network.RCNN_FEAT_STRIDE),
         **common,
     )

@@ -72,6 +72,12 @@ class RelationRCNN(nn.Module):
     # XLA learned-NMS attention: active-class gather cap (models/relation.py;
     # unused on the C4 fast path, which runs the Pallas skip kernel)
     compact_classes: int = 32
+    # Pallas in the learned-NMS head (the per-class geom-bias kernel + skip
+    # kernel). False = the XLA dense/compact attention (the FPN-style path):
+    # under the train step's vmap the per-class kernel becomes B*C
+    # sequential grid programs (program-overhead floor ~7-14 us each), while
+    # the XLA form batches — A/B via cfg.TPU.LNMS_ATTN (r5).
+    lnms_allow_pallas: bool = True
     # tiny-model knobs for tests
     backbone: str = "resnet101"         # "resnet101" | "tiny"
     head_dim: int = 1024
@@ -129,6 +135,7 @@ class RelationRCNN(nn.Module):
                 num_thresh=self.num_thresh, class_agnostic=self.class_agnostic,
                 bbox_means=self.bbox_means, bbox_stds=self.bbox_stds,
                 attn_dtype=self.head_dtype,
+                allow_pallas=self.lnms_allow_pallas,
                 geom_emb_dtype=self.geom_emb_dtype,
                 compact_classes=self.compact_classes)
 

@@ -33,5 +33,18 @@ def main():
          "--cuts", "head", "lnms_embed", "lnms_attn", "lnms_score", ""])
 
 
+def extra():
+    """LNMS_ATTN=xla A/B (appended; run as `python r5_batch6.py extra`)."""
+    sys.path.insert(0, "/root/repo/tools")
+    run(["--mode", "bwd", "--batch", "8", "--legs", "full", "f_all",
+         "--set", "TPU.LNMS_ATTN='xla'"])
+    run(["--mode", "fwd", "--no-grad", "--batch", "8",
+         "--cuts", "lnms_embed", "lnms_attn",
+         "--set", "TPU.LNMS_ATTN='xla'"])
+    run(["--mode", "bwd", "--batch", "4", "--legs", "full",
+         "--set", "TPU.LNMS_ATTN='xla'"])
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _s
+    (extra if "extra" in _s.argv[1:] else main)()
