@@ -140,7 +140,26 @@ def roi_align_mxu(feat: jnp.ndarray, rois: jnp.ndarray, spatial_scale: float,
 
     By = interp_matrix(ys, H)                                    # [R, P, H]
     Bx = interp_matrix(xs, W)                                    # [R, P, W]
+    return _align_core(feat, By, Bx)
 
+
+@jax.custom_vjp
+def _align_core(feat, By, Bx):
+    """The two interpolation matmuls, with a hand-written backward.
+
+    Custom VJP rationale (r5): autodiff stages the live cotangent of the
+    per-ROI intermediate in f32 — ~1.2 GB per image on the FPN stride-4
+    level at train-time ROI counts — while the backward algebra needs only a
+    bf16 staging (same policy as the forward). ROI-side gradients (d_By /
+    d_Bx -> d_rois) are ZERO by contract: every caller pools stop-gradient
+    ROIs, matching the reference head whose mx.symbol.ROIPooling has no ROI
+    gradient (resnet_v1_101_rcnn_base.py:790)."""
+    out, _ = _align_core_fwd(feat, By, Bx)
+    return out
+
+
+def _align_core_fwd(feat, By, Bx):
+    H, W, C = feat.shape
     dt = jnp.bfloat16 if feat.dtype == jnp.bfloat16 else jnp.float32
     # contract the LARGER spatial axis first so the materialized per-ROI
     # intermediate keeps the smaller one ([R, P, min(H,W), C]); stored in the
@@ -157,7 +176,29 @@ def roi_align_mxu(feat: jnp.ndarray, rois: jnp.ndarray, spatial_scale: float,
                        preferred_element_type=jnp.float32).astype(dt)
         out = jnp.einsum("rpwc,rqw->rpqc", a, Bx.astype(dt),
                          preferred_element_type=jnp.float32)
-    return out.astype(feat.dtype)
+    return out.astype(feat.dtype), (feat, By, Bx)
+
+
+def _align_core_bwd(res, dout):
+    feat, By, Bx = res
+    H, W, _ = feat.shape
+    dt = jnp.bfloat16 if feat.dtype == jnp.bfloat16 else jnp.float32
+    g = dout.astype(dt)                                          # [R, P, Q, C]
+    if W >= H:
+        # d_feat[h,w,c] = sum_rpq By[r,p,h] Bx[r,q,w] g[r,p,q,c]
+        t = jnp.einsum("rph,rpqc->rqhc", By.astype(dt), g,
+                       preferred_element_type=jnp.float32).astype(dt)
+        d_feat = jnp.einsum("rqw,rqhc->hwc", Bx.astype(dt), t,
+                            preferred_element_type=jnp.float32)
+    else:
+        t = jnp.einsum("rqw,rpqc->rpwc", Bx.astype(dt), g,
+                       preferred_element_type=jnp.float32).astype(dt)
+        d_feat = jnp.einsum("rph,rpwc->hwc", By.astype(dt), t,
+                            preferred_element_type=jnp.float32)
+    return (d_feat.astype(feat.dtype), jnp.zeros_like(By), jnp.zeros_like(Bx))
+
+
+_align_core.defvjp(_align_core_fwd, _align_core_bwd)
 
 
 def _levels_for(dim: int, pooled: int) -> int:

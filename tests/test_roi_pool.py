@@ -107,3 +107,51 @@ def test_roi_align_mxu_still_matches_gather_form(rng):
     a = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 1.0 / 16, 7))
     b = np.asarray(roi_align_mxu(jnp.asarray(feat), jnp.asarray(rois), 1.0 / 16, 7))
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
+def test_roi_align_mxu_custom_vjp_matches_autodiff(rng):
+    """The hand-written backward (bf16-staged cotangent on TPU, zero ROI
+    grads by contract) must equal autodiff of the forward algebra w.r.t. the
+    feature map (f32 on CPU -> exact up to reduction order)."""
+    import jax
+    import jax.numpy as jnp
+    from relation_tpu.ops.roi_pool import roi_align_mxu, _align_core_fwd
+
+    H, W, C, R, P, S = 10, 14, 8, 6, 7, 2
+    feat = jnp.asarray(rng.randn(H, W, C).astype(np.float32))
+    rois = np.stack([
+        rng.uniform(0, W * 4 - 20, R), rng.uniform(0, H * 4 - 20, R),
+        np.full(R, 18.0), np.full(R, 16.0)], axis=1).astype(np.float32)
+    rois[:, 2] += rois[:, 0]
+    rois[:, 3] += rois[:, 1]
+    rois = jnp.asarray(rois)
+    dout = rng.randn(R, P, P, C).astype(np.float32)
+
+    # By/Bx rebuilt exactly as roi_align_mxu builds them (spatial_scale 0.25)
+    x1, y1 = rois[:, 0] * 0.25, rois[:, 1] * 0.25
+    roi_w = jnp.maximum(rois[:, 2] * 0.25 - x1, 1.0)
+    roi_h = jnp.maximum(rois[:, 3] * 0.25 - y1, 1.0)
+    grid = (jnp.arange(P * S, dtype=jnp.float32) + 0.5) / S
+    ys = jnp.clip(y1[:, None] + (roi_h / P)[:, None] * grid[None, :], 0, H - 1.0)
+    xs = jnp.clip(x1[:, None] + (roi_w / P)[:, None] * grid[None, :], 0, W - 1.0)
+
+    def interp(coords, dim):
+        g = jnp.arange(dim, dtype=jnp.float32)
+        w = jnp.maximum(1.0 - jnp.abs(coords[..., None] - g), 0.0)
+        return w.reshape(R, P, S, dim).mean(axis=2)
+
+    By, Bx = interp(ys, H), interp(xs, W)
+
+    def loss(f):
+        return jnp.sum(roi_align_mxu(f, rois, 0.25) * dout)
+
+    def loss_auto(f):
+        out, _ = _align_core_fwd(f, By, Bx)
+        return jnp.sum(out * dout)
+
+    np.testing.assert_allclose(np.asarray(loss(feat)),
+                               np.asarray(loss_auto(feat)), rtol=1e-5)
+    g_custom = jax.grad(loss)(feat)
+    g_auto = jax.grad(loss_auto)(feat)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_auto),
+                               rtol=2e-5, atol=2e-5)
