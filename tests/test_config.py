@@ -79,3 +79,56 @@ def test_tpu_defaults_parity_safe():
     # parity-first numerics: head matmuls default f32 (bf16 is opt-in)
     assert cfg.TPU.HEAD_DTYPE == "float32"
     assert cfg.TEST.SCORE_THRESH == pytest.approx(1e-3)
+
+
+def test_r5_tpu_knob_wiring():
+    """Round-5 TPU knobs must reach the model fields through build_model
+    (a typo'd/miswired knob silently runs the slow path)."""
+    import jax.numpy as jnp
+    from relation_tpu.config.defaults import default_config
+    from relation_tpu.core.trainer import build_model
+
+    def cfg_for(symbol):
+        cfg = default_config()
+        cfg.symbol = symbol
+        cfg.network.NUM_ANCHORS = 6
+        cfg.network.ANCHOR_SCALES = (2, 4)
+        return cfg
+
+    fpn_sym = ("resnet_v1_101_rcnn_fpn_attention_1024_pairwise_position_"
+               "multi_head_16_learn_nms")
+    dcn_sym = ("resnet_v1_101_rcnn_dcn_attention_1024_pairwise_position_"
+               "multi_head_16_learn_nms")
+    c4_sym = ("resnet_v1_101_rcnn_attention_1024_pairwise_position_"
+              "multi_head_16_learn_nms")
+
+    # FPN_ALLOW_PALLAS: False | "lnms" | True
+    m = build_model(cfg_for(fpn_sym))
+    assert m.allow_pallas is False and m.allow_pallas_lnms is False
+    cfg = cfg_for(fpn_sym)
+    cfg.TPU.FPN_ALLOW_PALLAS = "lnms"
+    m = build_model(cfg)
+    assert m.allow_pallas is False and m.allow_pallas_lnms is True
+    cfg.TPU.FPN_ALLOW_PALLAS = True
+    m = build_model(cfg)
+    assert m.allow_pallas is True and m.allow_pallas_lnms is True
+
+    # DCN_POOL_DTYPE: bf16 default on the real trunk, f32 for tiny + parity
+    m = build_model(cfg_for(dcn_sym))
+    assert m.dcn_pool_dtype == jnp.bfloat16
+    cfg = cfg_for(dcn_sym)
+    cfg.TPU.DCN_POOL_DTYPE = "float32"
+    assert build_model(cfg).dcn_pool_dtype == jnp.float32
+    assert build_model(cfg_for(dcn_sym), tiny=True).dcn_pool_dtype == jnp.float32
+
+    # LNMS_ATTN: pallas default, xla flips the head off the kernels
+    assert build_model(cfg_for(c4_sym)).lnms_allow_pallas is True
+    cfg = cfg_for(c4_sym)
+    cfg.TPU.LNMS_ATTN = "xla"
+    assert build_model(cfg).lnms_allow_pallas is False
+
+    # COMPUTE_DTYPE: f32 trunk mode (the multichip certificates)
+    assert build_model(cfg_for(c4_sym)).conv_dtype == jnp.bfloat16
+    cfg = cfg_for(c4_sym)
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    assert build_model(cfg).conv_dtype == jnp.float32
